@@ -1,0 +1,232 @@
+"""Functional NHWC layer primitives for the TPU network zoo.
+
+Parameters are plain nested dicts of jnp arrays (a pytree), so whole networks
+can be stacked along a leading axis and vmapped — that is how the DeepLIIF
+9-net ensemble becomes a single batched XLA program.
+
+Semantics intentionally match the reference's torch layers
+(/root/reference/deepliif/models/networks.py):
+  * ``batch`` norm == BatchNorm2d with track_running_stats disabled, i.e.
+    statistics always computed from the current batch (the reference disables
+    running stats at inference, util/__init__.py:743-771, and train mode uses
+    batch stats anyway) — so one stat-based implementation serves both.
+  * ``instance`` norm == InstanceNorm2d(affine=False), eps 1e-5.
+  * conv_transpose matches torch ConvTranspose2d(stride, padding,
+    output_padding) exactly via an input-dilated convolution.
+
+Layout: activations NHWC, conv kernels HWIO. Torch state dicts (OIHW, and
+IOHW for ConvTranspose2d) are converted by deepliif_tpu.utils.torch_import.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+_DN = ('NHWC', 'HWIO', 'NHWC')
+
+
+# ---------------------------------------------------------------------------
+# initializers (reference networks.py:84-115)
+# ---------------------------------------------------------------------------
+
+def _fan_in_out(shape):
+    # HWIO kernel
+    rf = shape[0] * shape[1]
+    return shape[2] * rf, shape[3] * rf
+
+
+def init_kernel(key, shape, init_type='normal', init_gain=0.02):
+    """Initialize a conv kernel of HWIO ``shape``."""
+    if init_type == 'normal':
+        return init_gain * jax.random.normal(key, shape, jnp.float32)
+    if init_type == 'xavier':
+        fan_in, fan_out = _fan_in_out(shape)
+        std = init_gain * math.sqrt(2.0 / (fan_in + fan_out))
+        return std * jax.random.normal(key, shape, jnp.float32)
+    if init_type == 'kaiming':
+        fan_in, _ = _fan_in_out(shape)
+        std = math.sqrt(2.0 / fan_in)
+        return std * jax.random.normal(key, shape, jnp.float32)
+    if init_type == 'orthogonal':
+        flat = (int(jnp.prod(jnp.array(shape[:-1]))), shape[-1])
+        a = jax.random.normal(key, flat, jnp.float32)
+        q, r = jnp.linalg.qr(a if flat[0] >= flat[1] else a.T)
+        q = q * jnp.sign(jnp.diagonal(r))
+        if flat[0] < flat[1]:
+            q = q.T
+        return (init_gain * q).reshape(shape)
+    raise NotImplementedError(f'init [{init_type}] not implemented')
+
+
+def init_conv(key, kh, kw, cin, cout, bias=True, init_type='normal', init_gain=0.02):
+    p = {'w': init_kernel(key, (kh, kw, cin, cout), init_type, init_gain)}
+    if bias:
+        p['b'] = jnp.zeros((cout,), jnp.float32)
+    return p
+
+
+def init_norm(key, c, init_type='normal', init_gain=0.02):
+    """Affine norm params: scale ~ N(1, gain), bias 0 (reference networks.py:110-112)."""
+    return {'scale': 1.0 + init_gain * jax.random.normal(key, (c,), jnp.float32),
+            'bias': jnp.zeros((c,), jnp.float32)}
+
+
+# ---------------------------------------------------------------------------
+# conv / conv-transpose
+# ---------------------------------------------------------------------------
+
+def conv2d(x, p, stride=1, padding=0):
+    """2D conv; ``padding`` int means symmetric zero pad (torch semantics)."""
+    pad = [(padding, padding)] * 2 if isinstance(padding, int) else padding
+    w = p['w'].astype(x.dtype)
+    out = jax.lax.conv_general_dilated(
+        x, w, (stride, stride), pad, dimension_numbers=_DN)
+    if 'b' in p:
+        out = out + p['b'].astype(x.dtype)
+    return out
+
+
+def conv_transpose2d(x, p, stride=2, padding=1, output_padding=1):
+    """torch ConvTranspose2d equivalent.
+
+    The kernel is stored in forward-conv HWIO layout (spatially flipped,
+    in/out transposed relative to the torch IOHW parameter); the op is then
+    an input-dilated convolution:
+      out = (in-1)*stride - 2*padding + k + output_padding
+    """
+    k = p['w'].shape[0]
+    lo = k - 1 - padding
+    hi = k - 1 - padding + output_padding
+    w = p['w'].astype(x.dtype)
+    out = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(lo, hi), (lo, hi)], lhs_dilation=(stride, stride),
+        dimension_numbers=_DN)
+    if 'b' in p:
+        out = out + p['b'].astype(x.dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# normalization
+# ---------------------------------------------------------------------------
+
+def batch_stat_norm(x, p, eps=1e-5):
+    """BatchNorm2d with per-batch statistics (biased variance), affine."""
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=(0, 1, 2))
+    var = ((x32 - mean) ** 2).mean(axis=(0, 1, 2))
+    inv = jax.lax.rsqrt(var + eps)
+    out = (x32 - mean) * inv * p['scale'] + p['bias']
+    return out.astype(x.dtype)
+
+
+def instance_norm(x, p=None, eps=1e-5):
+    """InstanceNorm2d(affine=False): per-sample, per-channel spatial stats."""
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=(1, 2), keepdims=True)
+    var = ((x32 - mean) ** 2).mean(axis=(1, 2), keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    if p is not None and 'scale' in p:
+        out = out * p['scale'] + p['bias']
+    return out.astype(x.dtype)
+
+
+def apply_norm(x, p, norm_type):
+    if norm_type == 'batch':
+        return batch_stat_norm(x, p)
+    if norm_type == 'instance':
+        return instance_norm(x)
+    if norm_type in ('none', 'spectral'):
+        return x
+    raise NotImplementedError(f'norm [{norm_type}] not implemented')
+
+
+def norm_has_params(norm_type):
+    return norm_type == 'batch'
+
+
+def norm_use_bias(norm_type):
+    """Convs carry bias iff the following norm has no affine (reference
+    networks.py:381-384): instance/none -> bias, batch -> no bias."""
+    return norm_type != 'batch'
+
+
+# ---------------------------------------------------------------------------
+# padding / activations / misc
+# ---------------------------------------------------------------------------
+
+def pad2d(x, n, mode='zero'):
+    cfg = [(0, 0), (n, n), (n, n), (0, 0)]
+    if mode == 'zero':
+        return jnp.pad(x, cfg)
+    if mode == 'reflect':
+        return jnp.pad(x, cfg, mode='reflect')
+    if mode == 'replicate':
+        return jnp.pad(x, cfg, mode='edge')
+    raise NotImplementedError(f'padding [{mode}] not implemented')
+
+
+def relu(x):
+    return jnp.maximum(x, 0)
+
+
+def leaky_relu(x, slope=0.2):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def dropout(x, rng, rate=0.5, train=False):
+    if not train or rate == 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+
+
+def upsample_nearest(x, factor=2):
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, factor, w, factor, c))
+    return x.reshape(n, h * factor, w * factor, c)
+
+
+def pixel_shuffle(x, factor=2):
+    n, h, w, c = x.shape
+    r = factor
+    # torch PixelShuffle on NCHW: c_out = c/r^2, interleave; NHWC equivalent
+    x = x.reshape(n, h, w, c // (r * r), r, r)
+    x = jnp.transpose(x, (0, 1, 4, 2, 5, 3))
+    return x.reshape(n, h * r, w * r, c // (r * r))
+
+
+# ---------------------------------------------------------------------------
+# spectral norm (reference networks.py:757-765): one power-iteration step
+# using a stored left-singular vector estimate. `update_spectral_vectors`
+# refreshes the estimates between training steps.
+# ---------------------------------------------------------------------------
+
+def spectral_normalize(w, u, n_iter=1, eps=1e-12):
+    mat = w.reshape(-1, w.shape[-1])  # (HWI, O)
+    v = None
+    for _ in range(n_iter):
+        v = mat.T @ u
+        v = v / (jnp.linalg.norm(v) + eps)
+        u_new = mat @ v
+        u_new = u_new / (jnp.linalg.norm(u_new) + eps)
+        u = u_new
+    sigma = u @ (mat @ v)
+    return w / sigma, u
+
+
+def tree_stack(trees):
+    """Stack a list of identical pytrees along a new leading axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def tree_unstack(tree, n):
+    return [jax.tree_util.tree_map(lambda x: x[i], tree) for i in range(n)]
+
+
+def split_keys(key, n):
+    return list(jax.random.split(key, n))

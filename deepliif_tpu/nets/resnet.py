@@ -1,0 +1,113 @@
+"""ResNet generator (c7s1-64, 2x down, n residual blocks, 2x up, c7s1-out, tanh).
+
+Architecture parity with the reference ResnetGenerator
+(/root/reference/deepliif/models/networks.py:357-513):
+  * head/tail use 7x7 convs after 3px pad (reflect or zero per padding_type);
+  * downsampling convs are 3x3 stride 2 pad 1;
+  * upsampling is ConvTranspose2d(3,2,1,output_padding=1) by default, with
+    resize_conv (nearest x2 + reflect pad + 3x3 conv) and pixel_shuffle
+    variants;
+  * residual blocks: pad1-conv3-norm-relu-[dropout]-pad1-conv3-norm + skip;
+  * conv bias present iff norm has no affine params.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import layers as L
+
+
+def init(key, input_nc, output_nc, ngf=64, n_blocks=9, norm='batch',
+         use_dropout=True, padding_type='reflect', upsample='convtranspose',
+         init_type='normal', init_gain=0.02):
+    use_bias = L.norm_use_bias(norm)
+    has_norm = L.norm_has_params(norm)
+    keys = iter(L.split_keys(key, 64))
+
+    def norm_p(c):
+        return L.init_norm(next(keys), c, init_type, init_gain) if has_norm else {}
+
+    p = {}
+    p['head_conv'] = L.init_conv(next(keys), 7, 7, input_nc, ngf, use_bias, init_type, init_gain)
+    p['head_norm'] = norm_p(ngf)
+    for i in range(2):
+        mult = 2 ** i
+        p[f'down{i}_conv'] = L.init_conv(next(keys), 3, 3, ngf * mult, ngf * mult * 2,
+                                         use_bias, init_type, init_gain)
+        p[f'down{i}_norm'] = norm_p(ngf * mult * 2)
+    dim = ngf * 4
+    for i in range(n_blocks):
+        p[f'res{i}_conv1'] = L.init_conv(next(keys), 3, 3, dim, dim, use_bias, init_type, init_gain)
+        p[f'res{i}_norm1'] = norm_p(dim)
+        p[f'res{i}_conv2'] = L.init_conv(next(keys), 3, 3, dim, dim, use_bias, init_type, init_gain)
+        p[f'res{i}_norm2'] = norm_p(dim)
+    for i in range(2):
+        mult = 2 ** (2 - i)
+        cin, cout = ngf * mult, ngf * mult // 2
+        if upsample == 'convtranspose':
+            p[f'up{i}_conv'] = L.init_conv(next(keys), 3, 3, cin, cout, use_bias, init_type, init_gain)
+        elif upsample == 'resize_conv':
+            # reference resize_conv branch uses default-bias Conv2d (networks.py:414-419)
+            p[f'up{i}_conv'] = L.init_conv(next(keys), 3, 3, cin, cout, True, init_type, init_gain)
+        elif upsample == 'pixel_shuffle':
+            p[f'up{i}_conv'] = L.init_conv(next(keys), 3, 3, cin, cin * 2, True, init_type, init_gain)
+        else:
+            raise NotImplementedError(f'upsample [{upsample}] not implemented')
+        p[f'up{i}_norm'] = norm_p(cout)
+    p['tail_conv'] = L.init_conv(next(keys), 7, 7, ngf, output_nc, True, init_type, init_gain)
+    return p
+
+
+def apply(p, x, *, n_blocks=9, norm='batch', use_dropout=True,
+          padding_type='reflect', upsample='convtranspose',
+          train=False, rng=None, dtype=None):
+    if dtype is not None:
+        x = x.astype(dtype)
+    pad_head = padding_type if padding_type == 'reflect' else 'zero'
+
+    x = L.pad2d(x, 3, pad_head)
+    x = L.conv2d(x, p['head_conv'], 1, 0)
+    x = L.apply_norm(x, p['head_norm'], norm)
+    x = L.relu(x)
+
+    for i in range(2):
+        x = L.conv2d(x, p[f'down{i}_conv'], 2, 1)
+        x = L.apply_norm(x, p[f'down{i}_norm'], norm)
+        x = L.relu(x)
+
+    rngs = jax.random.split(rng, n_blocks) if (train and use_dropout and rng is not None) else [None] * n_blocks
+    res_pad = 0 if padding_type in ('reflect', 'replicate') else 1
+    for i in range(n_blocks):
+        h = x
+        if res_pad == 0:
+            h = L.pad2d(h, 1, padding_type)
+        h = L.conv2d(h, p[f'res{i}_conv1'], 1, res_pad)
+        h = L.apply_norm(h, p[f'res{i}_norm1'], norm)
+        h = L.relu(h)
+        if use_dropout:
+            h = L.dropout(h, rngs[i], 0.5, train)
+        if res_pad == 0:
+            h = L.pad2d(h, 1, padding_type)
+        h = L.conv2d(h, p[f'res{i}_conv2'], 1, res_pad)
+        h = L.apply_norm(h, p[f'res{i}_norm2'], norm)
+        x = x + h
+
+    for i in range(2):
+        if upsample == 'convtranspose':
+            x = L.conv_transpose2d(x, p[f'up{i}_conv'], 2, 1, 1)
+        elif upsample == 'resize_conv':
+            x = L.upsample_nearest(x, 2)
+            x = L.pad2d(x, 1, 'reflect')
+            x = L.conv2d(x, p[f'up{i}_conv'], 1, 0)
+        elif upsample == 'pixel_shuffle':
+            x = L.conv2d(x, p[f'up{i}_conv'], 1, 1)
+            x = L.pixel_shuffle(x, 2)
+            x = L.relu(x)
+        x = L.apply_norm(x, p[f'up{i}_norm'], norm)
+        x = L.relu(x)
+
+    x = L.pad2d(x, 3, pad_head)
+    x = L.conv2d(x, p['tail_conv'], 1, 0)
+    return jnp.tanh(x)

@@ -1,0 +1,26 @@
+"""Test configuration: run all tests on CPU with 8 virtual devices so
+multi-chip sharding paths are exercised without TPU hardware (replaces the
+reference's GPU-count conditional skips, SURVEY.md section 4)."""
+
+import os
+
+# Force CPU even though the environment pre-imports jax with a TPU platform:
+# jax captures JAX_PLATFORMS at import, so use config.update (backend
+# creation is lazy; XLA_FLAGS is read at client creation, so setting it here
+# still yields 8 virtual CPU devices).
+os.environ['JAX_PLATFORMS'] = 'cpu'
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope='session')
+def rng_key():
+    import jax
+    return jax.random.PRNGKey(0)

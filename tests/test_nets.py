@@ -1,0 +1,87 @@
+"""Shape / smoke tests for the network zoo (small spatial sizes for speed)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepliif_tpu import nets
+from deepliif_tpu.nets import layers as L
+
+
+@pytest.mark.parametrize('net_g,size', [
+    ('resnet_9blocks', 64),
+    ('resnet_6blocks', 64),
+    ('unet_32', 32),
+    ('unet_64', 64),
+])
+def test_generator_shapes(net_g, size, rng_key):
+    net = nets.define_g(3, 3, ngf=8, net_g=net_g)
+    params = net.init(rng_key)
+    x = jnp.zeros((2, size, size, 3))
+    y = jax.jit(lambda p, x: net.apply(p, x))(params, x)
+    assert y.shape == (2, size, size, 3)
+    assert float(jnp.abs(y).max()) <= 1.0 + 1e-6  # tanh output
+
+
+def test_unet_512_shape(rng_key):
+    net = nets.define_g(3, 3, ngf=4, net_g='unet_512')
+    params = net.init(rng_key)
+    x = jnp.zeros((1, 512, 512, 3))
+    y = net.apply(params, x)
+    assert y.shape == (1, 512, 512, 3)
+
+
+def test_att_unet_shape(rng_key):
+    net = nets.define_g(3, 3, net_g='unet_512_attention')
+    params = net.init(rng_key)
+    x = jnp.zeros((1, 256, 256, 3))
+    y = net.apply(params, x)
+    assert y.shape == (1, 256, 256, 3)
+
+
+@pytest.mark.parametrize('net_d,n_layers,expect', [
+    ('basic', 3, 30),     # 256 -> 30x30 patch map for n=3
+    ('n_layers', 4, 14),  # DeepLIIF default n_layers_D=4 on 256 input
+    ('pixel', 0, 256),
+])
+def test_discriminator_shapes(net_d, n_layers, expect, rng_key):
+    net = nets.define_d(6, ndf=16, net_d=net_d, n_layers_d=n_layers)
+    params = net.init(rng_key)
+    x = jnp.zeros((1, 256, 256, 6))
+    y = net.apply(params, x)
+    assert y.shape == (1, expect, expect, 1)
+
+
+def test_discriminator_patch_size_matches_torch_formula(rng_key):
+    """n_layers=4, 512 input: 3 stride-2 convs + 2 stride-1 k4 convs."""
+    net = nets.define_d(6, ndf=8, net_d='n_layers', n_layers_d=4)
+    params = net.init(rng_key)
+    y = net.apply(params, jnp.zeros((1, 512, 512, 6)))
+    assert y.shape[1] == y.shape[2] == 30
+
+
+def test_ensemble_stacking_vmap(rng_key):
+    """4 translators stacked and vmapped = the TPU ensemble pattern."""
+    net = nets.define_g(3, 3, ngf=8, net_g='resnet_6blocks')
+    keys = L.split_keys(rng_key, 4)
+    stacked = L.tree_stack([net.init(k) for k in keys])
+    x = jnp.ones((2, 64, 64, 3))
+    ys = jax.vmap(lambda p: net.apply(p, x))(stacked)
+    assert ys.shape == (4, 2, 64, 64, 3)
+    # each net has different weights -> different outputs
+    assert float(jnp.abs(ys[0] - ys[1]).max()) > 1e-4
+    # vmapped output == per-net output
+    y0 = net.apply(L.tree_unstack(stacked, 4)[0], x)
+    assert float(jnp.abs(ys[0] - y0).max()) < 1e-5
+
+
+def test_dropout_only_when_training(rng_key):
+    net = nets.define_g(3, 3, ngf=8, net_g='resnet_6blocks', use_dropout=True)
+    params = net.init(rng_key)
+    x = jnp.ones((1, 64, 64, 3))
+    y1 = net.apply(params, x)
+    y2 = net.apply(params, x)
+    assert float(jnp.abs(y1 - y2).max()) == 0.0  # inference deterministic
+    r1 = net.apply(params, x, train=True, rng=jax.random.PRNGKey(1))
+    r2 = net.apply(params, x, train=True, rng=jax.random.PRNGKey(2))
+    assert float(jnp.abs(r1 - r2).max()) > 1e-6  # dropout active
