@@ -111,13 +111,15 @@ def make_lr_schedule(opt, steps_per_epoch=1):
     n_epochs = getattr(opt, 'n_epochs', 100)
     epoch_count = getattr(opt, 'epoch_count', 1)
 
+    import jax.numpy as jnp
+
     if policy == 'linear':
         n_decay = getattr(opt, 'n_epochs_decay', 100)
 
         def sched(step):
             epoch = step // max(steps_per_epoch, 1)
-            factor = 1.0 - max(0, epoch + epoch_count - n_epochs) / float(n_decay + 1)
-            return factor
+            over = jnp.maximum(0, epoch + epoch_count - n_epochs)
+            return 1.0 - over / float(n_decay + 1)
         return sched
     if policy == 'step':
         decay_iters = getattr(opt, 'lr_decay_iters', 50)
@@ -127,8 +129,6 @@ def make_lr_schedule(opt, steps_per_epoch=1):
             return 0.1 ** (epoch // decay_iters)
         return sched
     if policy == 'cosine':
-        import jax.numpy as jnp
-
         def sched(step):
             epoch = step // max(steps_per_epoch, 1)
             return 0.5 * (1 + jnp.cos(jnp.pi * epoch / n_epochs))

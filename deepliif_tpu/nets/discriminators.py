@@ -43,7 +43,13 @@ def nlayer_apply(p, x, *, n_layers=3, norm='batch', dtype=None):
     x = L.conv2d(x, p[f'conv{n_layers}'], 1, 1)
     x = L.apply_norm(x, p[f'norm{n_layers}'], norm)
     x = L.leaky_relu(x, 0.2)
-    return L.conv2d(x, p['conv_out'], 1, 1)
+    out = L.conv2d(x, p['conv_out'], 1, 1)
+    if out.shape[1] == 0 or out.shape[2] == 0:
+        raise ValueError(
+            f'NLayerDiscriminator(n_layers={n_layers}) patch map is empty for '
+            f'this input size; use a larger image (>= {2 ** n_layers} * 4) or '
+            f'fewer layers')
+    return out
 
 
 def pixel_init(key, input_nc, ndf=64, norm='batch', init_type='normal', init_gain=0.02):
