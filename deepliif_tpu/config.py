@@ -183,9 +183,11 @@ class Options:
         self.phase = 'test'
         self.is_train = False
         self.continue_train = False
-        self.input_nc = 3
-        self.output_nc = 3
-        self.ngf = 64
+        # the reference hardcodes these in test mode (options/__init__.py:
+        # 87-90); we respect explicit config values and only backfill
+        self.input_nc = getattr(self, 'input_nc', 3)
+        self.output_nc = getattr(self, 'output_nc', 3)
+        self.ngf = getattr(self, 'ngf', 64)
         self.norm = getattr(self, 'norm', 'batch')
         self.use_dropout = False
 

@@ -1,0 +1,316 @@
+"""Model registry and the batched TPU inference engine.
+
+Replaces the reference inference stack (/root/reference/deepliif/models/
+__init__.py:117-954) — Dask-delayed per-net forwards chunked over GPUs —
+with one jitted batched ensemble program:
+
+  init_nets  -> InferenceSession (cached per model dir): options + params
+                (imported from torch .pth/.pt or native .npz) + jitted
+                bucketed-batch forward
+  run_batch  -> (N, ts, ts, 3) uint8 tiles -> dict of uint8 outputs; empty
+                tiles (gray variance < 9, reference models/__init__.py:
+                391-396) are skipped on host and filled with the model's
+                background colors
+  inference / infer_modalities / postprocess -> same API surface and output
+                key names as the reference
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import get_opt, Options
+from ..utils import image_to_input, image_variance_gray, tensor2im
+from ..utils.tiler import InferenceTiler
+from . import deepliif as dl
+
+MODEL_REGISTRY = {}
+
+
+def register_model(name):
+    def deco(cls):
+        MODEL_REGISTRY[name] = cls
+        return cls
+    return deco
+
+
+def find_model_using_name(name):
+    # populated lazily to avoid import cycles
+    from . import deepliif_ext, sdg, cyclegan, deepliif_kd  # noqa: F401
+    if name not in MODEL_REGISTRY:
+        raise KeyError(f'model [{name}] not registered')
+    return MODEL_REGISTRY[name]
+
+
+def _bucket(n, max_batch=16):
+    """Pad batch count to a power-of-two bucket to bound recompiles."""
+    b = 1
+    while b < n and b < max_batch:
+        b *= 2
+    return b
+
+
+class InferenceSession:
+    """Loaded DeepLIIF-family model ready for batched tile inference."""
+
+    def __init__(self, model_dir, opt=None, phase='test', max_batch=16):
+        self.model_dir = model_dir
+        self.opt = opt if opt is not None else get_opt(model_dir, mode=phase)
+        self.max_batch = max_batch
+        model = getattr(self.opt, 'model', 'DeepLIIF')
+        if model not in ('DeepLIIF', 'DeepLIIFKD'):
+            raise NotImplementedError(
+                f'InferenceSession currently supports DeepLIIF/DeepLIIFKD; '
+                f'got {model} (Ext/SDG/CycleGAN sessions land with their models)')
+        self.d = dl.def_from_opt(self.opt)
+        self.params = self._load_params(model_dir)
+        self._jitted = {}
+
+    def _load_params(self, model_dir):
+        from ..utils import checkpoints, torch_import
+        if checkpoints.has_native_checkpoint(model_dir):
+            like = dl.init_params(jax.random.PRNGKey(0), self.d,
+                                  with_discriminators=False)
+            return checkpoints.load_networks(model_dir, like)
+        # torch-era model dir
+        return torch_import.import_deepliif_dir(model_dir, self.opt)
+
+    def _forward(self, seg_weights):
+        key = tuple(seg_weights) if seg_weights is not None else None
+        if key not in self._jitted:
+            d = self.d
+
+            def fn(params, x):
+                mods, seg = dl.generator_forward(params, x, d,
+                                                 seg_weights=seg_weights)
+                out = {'mods': mods}
+                if seg is not None:
+                    out['seg'] = seg
+                return out
+
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
+
+    def run_tiles(self, tiles_u8, seg_weights=None, seg_only=False,
+                  mod_only=False):
+        """tiles_u8: (N, s, s, 3) uint8 -> dict of (N, s, s, 3) uint8 outputs
+        keyed by net id (G1..Gm, GS, and GS0..GSm when intermediates wanted).
+
+        Empty tiles are detected host-side and filled with background colors
+        (reference run_wrapper, models/__init__.py:399-461).
+        """
+        n = tiles_u8.shape[0]
+        m = self.d.modalities_no
+        gray = tiles_u8.astype(np.float32).mean(axis=-1)
+        variance = gray.var(axis=(1, 2))
+        nonempty = np.where(variance >= 9.0)[0]
+
+        out = {}
+        size = tiles_u8.shape[1]
+        bg = getattr(self.opt, 'background_colors',
+                     [(10, 10, 10)] * m) or [(10, 10, 10)] * m
+        for i in range(m):
+            color = tuple(bg[i]) if i < len(bg) else (10, 10, 10)
+            out[f'G{i+1}'] = np.tile(
+                np.asarray(color, np.uint8)[None, None, None, :],
+                (n, size, size, 1))
+        if self.d.seg_gen and not mod_only:
+            out['GS'] = np.zeros((n, size, size, 3), np.uint8)
+
+        if len(nonempty) == 0:
+            return out
+
+        x_all = (tiles_u8[nonempty].astype(np.float32) / 255.0 - 0.5) / 0.5
+        fwd = self._forward(tuple(seg_weights) if seg_weights is not None else None)
+
+        pos = 0
+        while pos < len(nonempty):
+            b = _bucket(len(nonempty) - pos, self.max_batch)
+            chunk = x_all[pos:pos + b]
+            pad = b - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:],
+                                                        chunk.dtype)])
+            res = fwd(self.params, jnp.asarray(chunk))
+            mods = np.asarray(res['mods'], np.float32)  # (M, b, s, s, 3)
+            valid = b - pad
+            idx = nonempty[pos:pos + valid]
+            for i in range(m):
+                out[f'G{i+1}'][idx] = _to_u8(mods[i][:valid])
+            if 'seg' in res and not mod_only:
+                out['GS'][idx] = _to_u8(np.asarray(res['seg'], np.float32)[:valid])
+            pos += valid
+        return out
+
+
+def _to_u8(a):
+    return ((a + 1.0) / 2.0 * 255.0).astype(np.uint8)
+
+
+@functools.lru_cache(maxsize=8)
+def init_nets(model_dir, phase='test'):
+    """Cached session construction (reference init_nets, models/__init__.py:
+    158-219; net grouping / GPU placement is obsolete — one program)."""
+    return InferenceSession(model_dir, phase=phase)
+
+
+def find_marker_key(d):
+    for k in d:
+        if k is not None and 'Marker' in k:
+            return k
+    return None
+
+
+def is_empty(tile):
+    thresh = 9
+    if isinstance(tile, (list, tuple)):
+        return all(image_variance_gray(t) < thresh for t in tile)
+    return image_variance_gray(tile) < thresh
+
+
+def inference(img, tile_size, overlap_size, model_path, use_torchserve=False,
+              eager_mode=False, color_dapi=False, color_marker=False, opt=None,
+              return_seg_intermediate=False, seg_only=False, mod_only=False,
+              seg_weights=None, opt_args=None, session=None):
+    """Tiled ensemble inference on a PIL image; returns {name: PIL.Image}.
+
+    Output key naming matches the reference inference()
+    (models/__init__.py:502-565): 'mod{i}-{Name}' per modality plus 'Seg'.
+    """
+    from PIL import Image
+
+    if session is None:
+        session = init_nets(model_path)
+    opt = session.opt if opt is None else opt
+    if opt_args:
+        for k, v in opt_args.items():
+            setattr(opt, k, v)
+
+    if getattr(opt, 'seg_gen', True) is False:
+        seg_only = False
+        return_seg_intermediate = False
+
+    if getattr(opt, 'input_no', 1) > 1 or opt.model == 'SDG':
+        w, h = img.width // opt.input_no, img.height
+        orig = [np.asarray(img.crop((w * i, 0, w * (i + 1), h)))
+                for i in range(opt.input_no)]
+    else:
+        orig = np.asarray(img.convert('RGB'))
+
+    scale_size = getattr(opt, 'scale_size', tile_size)
+    tiler = InferenceTiler(orig, tile_size, overlap_size)
+    tiles = tiler.tiles()
+
+    if tiles.shape[1] != scale_size:
+        rs = [np.asarray(Image.fromarray(t).resize((scale_size, scale_size),
+                                                   Image.BICUBIC))
+              for t in tiles]
+        net_in = np.stack(rs)
+    else:
+        net_in = tiles
+
+    results_net = session.run_tiles(net_in, seg_weights=seg_weights,
+                                    seg_only=seg_only, mod_only=mod_only)
+
+    for key, batch in results_net.items():
+        if batch.shape[1] != tile_size:
+            batch = np.stack([
+                np.asarray(Image.fromarray(t).resize((tile_size, tile_size),
+                                                     Image.BICUBIC))
+                for t in batch])
+        tiler.stitch_batch(key, batch)
+    results = {k: Image.fromarray(v) for k, v in tiler.results().items()}
+
+    # ---- output naming (parity with reference models/__init__.py:502-565)
+    m = opt.modalities_no
+    input_no = getattr(opt, 'input_no', 1)
+    modality_names = getattr(opt, 'modalities_names',
+                             [f'mod{i}' for i in range(m + 1)])
+    l_modname = [f'mod{i+1}' for i in range(m)]
+    if l_modname != list(modality_names[input_no:]):
+        l_modname = [f'mod{i+1}-{nm}' for i, nm in
+                     enumerate(modality_names[input_no:])]
+    d_modname2id = {nm: f'G{i+1}' for i, nm in enumerate(l_modname)}
+    if not mod_only and getattr(opt, 'seg_gen', True):
+        d_modname2id['Seg'] = 'GS'
+
+    if seg_only:
+        images = {'Seg': results['GS']}
+        marker_key = find_marker_key(d_modname2id)
+        if marker_key is not None and d_modname2id[marker_key] in results:
+            images[marker_key] = results[d_modname2id[marker_key]]
+    else:
+        images = {nm: results[mid] for nm, mid in d_modname2id.items()
+                  if mid in results}
+    return images
+
+
+def postprocess(orig, images, tile_size, model, seg_thresh=120,
+                size_thresh='default', marker_thresh=None,
+                size_thresh_upper=None):
+    """Quantification: overlay/refined masks + IHC scoring dict.
+
+    Resolution from tile size (reference models/__init__.py:582-610):
+    >384 -> 40x, >192 -> 20x, else 10x (thresholds x2 for Ext/SDG).
+    """
+    from PIL import Image
+    from .. import postprocessing as pp
+
+    if model in ('DeepLIIF', 'DeepLIIFKD'):
+        resolution = '40x' if tile_size > 384 else ('20x' if tile_size > 192 else '10x')
+        marker = images.get(find_marker_key(images))
+        overlay, refined, scoring = pp.compute_final_results(
+            np.asarray(orig.convert('RGB') if hasattr(orig, 'convert') else orig),
+            np.asarray(images['Seg']),
+            np.asarray(marker.convert('L')) if marker is not None else None,
+            resolution, size_thresh, marker_thresh, size_thresh_upper, seg_thresh)
+        return ({'SegOverlaid': Image.fromarray(overlay),
+                 'SegRefined': Image.fromarray(refined)}, scoring)
+
+    if model in ('DeepLIIFExt', 'SDG'):
+        resolution = '40x' if tile_size > 768 else ('20x' if tile_size > 384 else '10x')
+        processed, scoring = {}, {}
+        for name, im in list(images.items()):
+            if 'Seg' in name:
+                overlay, refined, score = pp.compute_final_results(
+                    np.asarray(orig.convert('RGB') if hasattr(orig, 'convert') else orig),
+                    np.asarray(im), None, resolution,
+                    size_thresh, marker_thresh, size_thresh_upper, seg_thresh)
+                processed[name + '_Overlaid'] = Image.fromarray(overlay)
+                processed[name + '_Refined'] = Image.fromarray(refined)
+                scoring[name] = score
+        return processed, scoring
+
+    raise NotImplementedError(f'postprocess() not implemented for {model}')
+
+
+def infer_modalities(img, tile_size, model_dir, eager_mode=False,
+                     color_dapi=False, color_marker=False, opt=None,
+                     return_seg_intermediate=False, seg_only=False,
+                     mod_only=False, seg_weights=None):
+    """Full tile-to-scoring pipeline (reference models/__init__.py:613-660)."""
+    session = init_nets(model_dir)
+    opt = session.opt if opt is None else opt
+
+    images = inference(
+        img, tile_size=tile_size, overlap_size=tile_size // 16,
+        model_path=model_dir, opt=opt,
+        return_seg_intermediate=return_seg_intermediate,
+        seg_only=seg_only, mod_only=mod_only, seg_weights=seg_weights,
+        session=session)
+
+    if getattr(opt, 'seg_gen', True):
+        if not mod_only:
+            post_images, scoring = postprocess(img, images, tile_size, opt.model)
+            images = {**images, **post_images}
+            if seg_only:
+                for name in [k for k in images if 'Seg' not in k]:
+                    del images[name]
+            return images, scoring
+        return images, None
+    return images, None

@@ -371,8 +371,9 @@ def create_train_state(key, d: DeepLIIFDef, opt, steps_per_epoch=1):
     ), g_tx, d_tx
 
 
-def make_train_step(d: DeepLIIFDef, g_tx, d_tx, vgg_params):
-    """Build the jitted alternating G/D update.
+def make_train_step_body(d: DeepLIIFDef, g_tx, d_tx, vgg_params):
+    """Un-jitted alternating G/D update (jit it yourself with shardings, or
+    use make_train_step).
 
     Order matches reference optimize_parameters (DeepLIIF_model.py:431-467):
     forward -> D grads on detached fakes -> D update -> G grads against the
@@ -406,7 +407,13 @@ def make_train_step(d: DeepLIIFDef, g_tx, d_tx, vgg_params):
         metrics = {'loss_G': g_loss, 'loss_D': d_loss, **g_terms, **d_terms}
         return new_state, metrics, g_out
 
-    return jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_train_step(d: DeepLIIFDef, g_tx, d_tx, vgg_params):
+    """Jitted single-host train step (see make_train_step_body)."""
+    return jax.jit(make_train_step_body(d, g_tx, d_tx, vgg_params),
+                   donate_argnums=(0,))
 
 
 def make_eval_losses(d: DeepLIIFDef, vgg_params):

@@ -1,0 +1,88 @@
+"""End-to-end tiled inference through the engine (tiny nets, CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from deepliif_tpu.models import deepliif as dl
+from deepliif_tpu.utils import checkpoints
+
+
+TINY_CFG = {
+    'model': 'DeepLIIF',
+    'modalities_no': 2,
+    'seg_gen': True,
+    'seg_no': 1,
+    'input_no': 1,
+    'netG': 'resnet_6blocks',
+    'net_gs': 'unet_32',
+    'ngf': 8,
+    'ndf': 8,
+    'norm': 'batch',
+    'no_dropout': False,
+    'padding': 'zero',
+    'upsample': 'convtranspose',
+    'scale_size': 64,
+    'seg_weights': [0.4, 0.3, 0.3],
+    'modalities_names': ['IHC', 'ModA', 'ModB'],
+    'background_colors': [(201, 211, 208), (10, 10, 10)],
+}
+
+
+@pytest.fixture(scope='module')
+def model_dir(tmp_path_factory):
+    md = tmp_path_factory.mktemp('tiny_model')
+    d = dl.DeepLIIFDef(
+        modalities_no=2, net_g=('resnet_6blocks',) * 2, net_gs=('unet_32',) * 3,
+        ngf=8, ndf=8, seg_weights=(0.4, 0.3, 0.3))
+    params = dl.init_params(jax.random.PRNGKey(7), d, with_discriminators=False)
+    checkpoints.save_networks(str(md), params)
+    with open(md / 'config.json', 'w') as f:
+        json.dump(TINY_CFG, f)
+    return str(md)
+
+
+def _sample_img(w=150, h=100):
+    rng = np.random.default_rng(0)
+    return Image.fromarray(rng.integers(0, 255, (h, w, 3), np.uint8))
+
+
+def test_inference_names_and_sizes(model_dir):
+    from deepliif_tpu.models import inference
+    img = _sample_img()
+    images = inference(img, tile_size=64, overlap_size=4, model_path=model_dir)
+    assert set(images) == {'mod1-ModA', 'mod2-ModB', 'Seg'}
+    for im in images.values():
+        assert im.size == img.size
+
+
+def test_infer_modalities_with_scoring(model_dir):
+    from deepliif_tpu.models import infer_modalities
+    img = _sample_img(128, 128)
+    images, scoring = infer_modalities(img, 64, model_dir)
+    assert 'SegOverlaid' in images and 'SegRefined' in images
+    assert {'num_total', 'num_pos', 'num_neg', 'percent_pos'} <= set(scoring)
+
+
+def test_empty_tile_short_circuit(model_dir):
+    """A uniform image (gray variance < 9) must return solid background tiles
+    without running the nets (reference run_wrapper semantics)."""
+    from deepliif_tpu.models import inference
+    img = Image.fromarray(np.full((64, 64, 3), 230, np.uint8))
+    images = inference(img, tile_size=64, overlap_size=0, model_path=model_dir)
+    a = np.asarray(images['mod1-ModA'])
+    assert (a == np.asarray((201, 211, 208), np.uint8)).all()
+    seg = np.asarray(images['Seg'])
+    assert (seg == 0).all()
+
+
+def test_seg_only_filters_outputs(model_dir):
+    from deepliif_tpu.models import infer_modalities
+    img = _sample_img(64, 64)
+    images, scoring = infer_modalities(img, 64, model_dir, seg_only=True)
+    assert all('Seg' in k for k in images)
