@@ -1,0 +1,374 @@
+"""Command-line interface.
+
+Same command surface as the reference click CLI (reference cli.py:66-1064):
+train, trainlaunch, serialize, test, test-wsi, prepare-training-data,
+prepare-testing-data, visualize — with TPU-native semantics:
+
+  * multi-device is one code path (mesh data parallelism inside the jitted
+    step), so `trainlaunch` configures jax.distributed for multi-host pods
+    instead of re-exec'ing under torchrun;
+  * `serialize` converts a model dir (torch .pth/.pt or native .npz) to the
+    native stacked-npz format, runs an eager-vs-serialized parity check like
+    the reference (sum|diff| <= 10, reference util/__init__.py:718-741), and
+    optionally AOT-compiles the ensemble;
+  * determinism comes from jax PRNG keys; the --seed flag seeds data order
+    and weights (reference cli.py:30-58 global-seed machinery not needed).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+import click
+import numpy as np
+
+from .config import Options, TRAIN_DEFAULTS, print_options, get_opt
+
+
+def allowed_file(filename):
+    from .utils import tensor2im  # noqa: F401  (package init side effects)
+    excluding = ['Hema', 'DAPI', 'DAPILap2', 'Ki67', 'Seg', 'Marked',
+                 'SegRefined', 'SegOverlaid', 'Marker', 'Lap2']
+    name, ext = os.path.splitext(filename)
+    return ext in ('.png', '.jpg', '.tif', '.jpeg') and \
+        name.split('_')[-1] not in excluding
+
+
+def ensure_exists(d):
+    os.makedirs(d, exist_ok=True)
+
+
+@click.group()
+def cli():
+    """DeepLIIF-TPU: TPU-native multitask cGAN for computational pathology."""
+
+
+# ---------------------------------------------------------------------------
+# train
+# ---------------------------------------------------------------------------
+
+@cli.command()
+@click.option('--dataroot', required=True,
+              help='path to images (should have subfolders train, val, etc.)')
+@click.option('--name', default='experiment_name',
+              help='name of the experiment, where to store samples and models')
+@click.option('--checkpoints-dir', default='./checkpoints', help='models are saved here')
+@click.option('--model', default='DeepLIIF',
+              type=click.Choice(['DeepLIIF', 'DeepLIIFExt', 'SDG', 'CycleGAN', 'DeepLIIFKD']))
+@click.option('--modalities-no', default=4, type=int, help='number of targets')
+@click.option('--seg-gen', default=True, type=bool, help='enable segmentation generators')
+@click.option('--net-g', default='resnet_9blocks', help='generator architecture')
+@click.option('--net-gs', default='unet_512', help='segmentation generator architecture')
+@click.option('--net-d', default='n_layers', help='discriminator architecture')
+@click.option('--ngf', default=64, type=int)
+@click.option('--ndf', default=64, type=int)
+@click.option('--norm', default='batch', help='batch | instance | none | spectral')
+@click.option('--no-dropout', is_flag=True)
+@click.option('--padding', default='zero', help='reflect | replicate | zero')
+@click.option('--upsample', default='convtranspose',
+              help='convtranspose | resize_conv | pixel_shuffle')
+@click.option('--batch-size', default=1, type=int)
+@click.option('--load-size', default=512, type=int)
+@click.option('--crop-size', default=512, type=int)
+@click.option('--scale-size', default=512, type=int)
+@click.option('--preprocess', default='resize_and_crop')
+@click.option('--no-flip', is_flag=True)
+@click.option('--gan-mode', default='vanilla', help='vanilla | lsgan | wgangp')
+@click.option('--gan-mode-s', default='lsgan', help='GAN mode for seg branch')
+@click.option('--optimizer', default='adam')
+@click.option('--beta1', default=0.5, type=float)
+@click.option('--lr-g', default=0.0002, type=float)
+@click.option('--lr-d', default=0.0002, type=float)
+@click.option('--lr-policy', default='linear')
+@click.option('--lr-decay-iters', default=50, type=int)
+@click.option('--n-epochs', default=100, type=int)
+@click.option('--n-epochs-decay', default=100, type=int)
+@click.option('--epoch-count', default=1, type=int)
+@click.option('--continue-train', is_flag=True)
+@click.option('--epoch', default='latest')
+@click.option('--seg-weights', default='', help='comma-separated seg weights')
+@click.option('--loss-weights-g', default='', help='comma-separated G loss weights')
+@click.option('--loss-weights-d', default='', help='comma-separated D loss weights')
+@click.option('--seed', default=None, type=int)
+@click.option('--with-val', is_flag=True, help='compute val losses + cell count metrics')
+@click.option('--print-freq', default=100, type=int)
+@click.option('--display-freq', default=400, type=int)
+@click.option('--save-latest-freq', default=500, type=int)
+@click.option('--save-epoch-freq', default=100, type=int)
+@click.option('--max-dataset-size', default=None, type=int)
+@click.option('--precision', default='float32', type=click.Choice(['float32', 'bfloat16']))
+@click.option('--remote', default=False, type=bool, help='pickle plot snapshots for `visualize`')
+def train(**kwargs):
+    """Train a model (single chip or data-parallel over all local devices)."""
+    d_params = dict(TRAIN_DEFAULTS)
+    d_params.update({k: v for k, v in kwargs.items() if v is not None})
+    m = d_params['modalities_no']
+    model = d_params['model']
+
+    def default_weights(default):
+        if model in ('DeepLIIF', 'DeepLIIFKD') and m == 4:
+            return default
+        if model in ('DeepLIIF', 'DeepLIIFKD'):
+            return [1 / (m + 1)] * (m + 1)
+        return [1 / m] * m
+
+    for key, default in (('seg_weights', [0.25, 0.15, 0.25, 0.1, 0.25]),
+                         ('loss_weights_g', [0.2] * 5),
+                         ('loss_weights_d', [0.2] * 5)):
+        val = d_params.get(key, '')
+        d_params[key] = ([float(x) for x in val.split(',')] if val
+                         else default_weights(default))
+    d_params['loss_G_weights'] = d_params.pop('loss_weights_g')
+    d_params['loss_D_weights'] = d_params.pop('loss_weights_d')
+    d_params['netG'] = d_params['net_g']
+    d_params['netD'] = d_params['net_d']
+    d_params['phase'] = 'train'
+    d_params['dataset_mode'] = ('unaligned' if model == 'CycleGAN' else 'aligned')
+
+    opt = Options(d_params=d_params, mode='train')
+    print_options(opt)
+
+    from .train_loop import train_model
+    train_model(opt)
+
+
+@cli.command(context_settings=dict(ignore_unknown_options=True,
+                                   allow_extra_args=True))
+@click.pass_context
+def trainlaunch(ctx):
+    """Multi-host training launcher.
+
+    The reference re-execs under torchrun for DDP (reference cli.py:697-758).
+    On TPU pods each host runs the same program; this command initializes
+    jax.distributed from the TPU environment and runs `train` with the
+    remaining arguments.
+    """
+    import jax
+    try:
+        jax.distributed.initialize()
+        click.echo(f'jax.distributed initialized: process {jax.process_index()} '
+                   f'of {jax.process_count()}')
+    except Exception as e:
+        click.echo(f'jax.distributed not initialized ({e}); running single-host')
+    cli.main(args=['train'] + list(ctx.args), standalone_mode=False)
+
+
+# ---------------------------------------------------------------------------
+# serialize
+# ---------------------------------------------------------------------------
+
+@cli.command()
+@click.option('--model-dir', default='./model-server/DeepLIIF_Latest_Model/',
+              help='reads models from here')
+@click.option('--output-dir', help='saves results here', default=None)
+@click.option('--verify/--no-verify', 'do_verify', default=True,
+              help='run the eager-vs-serialized parity check')
+def serialize(model_dir, output_dir, do_verify):
+    """Convert a model dir (torch or native) to the native npz artifact.
+
+    Parity contract as the reference serialize (cli.py:763-830): the
+    serialized model's output on a blank tile must match the source within
+    sum|diff| <= 10 over a 512x512x3 tile in uint8 scale.
+    """
+    import jax
+    import jax.numpy as jnp
+    from .models import deepliif as dl
+    from .models import InferenceSession
+    from .utils import checkpoints
+
+    output_dir = output_dir or model_dir
+    ensure_exists(output_dir)
+
+    session = InferenceSession(model_dir)
+    checkpoints.save_networks(output_dir, session.params)
+    for fn in ('train_opt.txt', 'config.json'):
+        src = os.path.join(model_dir, fn)
+        if os.path.exists(src) and os.path.abspath(model_dir) != os.path.abspath(output_dir):
+            import shutil
+            shutil.copy(src, os.path.join(output_dir, fn))
+    click.echo(f'serialized networks -> {output_dir}')
+
+    if do_verify:
+        like = session.params
+        reloaded = checkpoints.load_networks(output_dir, like)
+        size = getattr(session.opt, 'scale_size', 512)
+        x = jnp.zeros((1, size, size, 3), jnp.float32)
+        fwd = jax.jit(lambda p, x: dl.generator_forward(p, x, session.d))
+        m1, s1 = fwd(session.params, x)
+        m2, s2 = fwd(reloaded, x)
+        diff = float(jnp.abs(m1 - m2).sum() + jnp.abs(s1 - s2).sum()) * 127.5
+        assert diff <= 10, f'serialized-vs-original parity failed: {diff}'
+        click.echo(f'parity check passed (sum|diff| = {diff:.4f} <= 10)')
+
+
+# ---------------------------------------------------------------------------
+# test
+# ---------------------------------------------------------------------------
+
+@cli.command()
+@click.option('--input-dir', default='./Sample_Large_Tissues/', help='reads images from here')
+@click.option('--output-dir', help='saves results here')
+@click.option('--tile-size', type=click.IntRange(min=1), required=True)
+@click.option('--model-dir', default='./model-server/DeepLIIF_Latest_Model/')
+@click.option('--filename-pattern', default='*')
+@click.option('--eager-mode', is_flag=True,
+              help='kept for CLI parity; eager and serialized collapse to one jit path')
+@click.option('--epoch', default='latest')
+@click.option('--seg-intermediate', is_flag=True)
+@click.option('--seg-only', is_flag=True)
+@click.option('--mod-only', is_flag=True)
+@click.option('--color-dapi', is_flag=True)
+@click.option('--color-marker', is_flag=True)
+@click.option('--btoa', '--BtoA', 'btoa', is_flag=True)
+def test(input_dir, output_dir, tile_size, model_dir, filename_pattern,
+         eager_mode, epoch, seg_intermediate, seg_only, mod_only, color_dapi,
+         color_marker, btoa):
+    """Run tiled inference + quantification over a directory of images."""
+    from PIL import Image
+    from .models import infer_modalities
+
+    output_dir = output_dir or input_dir
+    ensure_exists(output_dir)
+    if mod_only:
+        seg_only = seg_intermediate = False
+    elif seg_intermediate and seg_only:
+        seg_intermediate = False
+
+    if filename_pattern == '*':
+        image_files = [fn for fn in os.listdir(input_dir) if allowed_file(fn)]
+    else:
+        image_files = [os.path.basename(f)
+                       for f in glob.glob(os.path.join(input_dir, filename_pattern))]
+    click.echo(f'{len(image_files)} image files')
+
+    opt = get_opt(model_dir, mode='test')
+    opt.BtoA = btoa
+    opt.epoch = epoch
+    seg_weights = getattr(opt, 'seg_weights', None)
+    print_options(opt)
+
+    with click.progressbar(image_files, label=f'Processing {len(image_files)} images',
+                           item_show_func=lambda fn: fn) as bar:
+        for filename in bar:
+            img = Image.open(os.path.join(input_dir, filename)).convert('RGB')
+            images, scoring = infer_modalities(
+                img, tile_size, model_dir, opt=opt,
+                return_seg_intermediate=seg_intermediate,
+                seg_only=seg_only, mod_only=mod_only, seg_weights=seg_weights)
+            stem = filename.rsplit('.', 1)[0]
+            for name, im in images.items():
+                im.save(os.path.join(output_dir, f'{stem}_{name}.png'))
+            if scoring is not None:
+                with open(os.path.join(output_dir, f'{stem}.json'), 'w') as f:
+                    json.dump(scoring, f, indent=2)
+
+
+@cli.command(name='test-wsi')
+@click.option('--input-dir', required=True)
+@click.option('--filename', required=True)
+@click.option('--output-dir', required=True)
+@click.option('--tile-size', type=click.IntRange(min=1), required=True)
+@click.option('--model-dir', default='./model-server/DeepLIIF_Latest_Model/')
+@click.option('--region-size', default=20000, type=int)
+@click.option('--seg-intermediate', is_flag=True)
+@click.option('--seg-only', is_flag=True)
+def test_wsi(input_dir, filename, output_dir, tile_size, model_dir,
+             region_size, seg_intermediate, seg_only):
+    """Whole-slide inference: region streaming + stitched pyramid output."""
+    from .utils.wsi import infer_results_for_wsi
+    infer_results_for_wsi(input_dir, filename, output_dir, model_dir,
+                          tile_size, region_size, seg_only=seg_only)
+
+
+# ---------------------------------------------------------------------------
+# data preparation
+# ---------------------------------------------------------------------------
+
+@cli.command(name='prepare-training-data')
+@click.option('--input-dir', required=True, help='path to input images')
+@click.option('--output-dir', required=True, help='path to output images')
+@click.option('--validation-ratio', default=0.2, type=float)
+@click.option('--seed', default=0, type=int)
+def prepare_training_data(input_dir, output_dir, validation_ratio, seed):
+    """Stitch paired stains (IHC/Hematoxylin/DAPI/Lap2/Marker/Seg) into
+    training rows and split train/val (reference cli.py:941-982)."""
+    import random
+    from PIL import Image
+    rng = random.Random(seed)
+    train_dir = os.path.join(output_dir, 'train')
+    val_dir = os.path.join(output_dir, 'val')
+    ensure_exists(train_dir)
+    ensure_exists(val_dir)
+    stains = ['IHC', 'Hematoxylin', 'DAPI', 'Lap2', 'Marker', 'Seg']
+    n = 0
+    for img in sorted(os.listdir(input_dir)):
+        if 'IHC' not in img:
+            continue
+        tiles = []
+        for stain in stains:
+            p = os.path.join(input_dir, img.replace('IHC', stain))
+            tiles.append(np.asarray(
+                Image.open(p).convert('RGB').resize((512, 512), Image.BICUBIC)))
+        row = np.concatenate(tiles, axis=1)
+        save_dir = val_dir if rng.random() < validation_ratio else train_dir
+        Image.fromarray(row).save(os.path.join(save_dir, img))
+        n += 1
+    click.echo(f'wrote {n} training rows')
+
+
+@cli.command(name='prepare-testing-data')
+@click.option('--input-dir', required=True, help='path to input images')
+@click.option('--dataset-dir', required=True, help='path to output dataset directory')
+def prepare_testing_data(input_dir, dataset_dir):
+    """Stitch IHC-only test rows (reference cli.py:985-1008)."""
+    from PIL import Image
+    test_dir = os.path.join(dataset_dir, 'test')
+    ensure_exists(test_dir)
+    n = 0
+    for img in sorted(os.listdir(input_dir)):
+        if 'IHC' not in img:
+            continue
+        a = np.asarray(Image.open(os.path.join(input_dir, img))
+                       .convert('RGB').resize((512, 512), Image.BICUBIC))
+        Image.fromarray(np.concatenate([a] * 6, axis=1)).save(
+            os.path.join(test_dir, img))
+        n += 1
+    click.echo(f'wrote {n} test rows')
+
+
+@cli.command()
+@click.option('--pickle-dir', required=True,
+              help='directory where the pickled snapshots are stored')
+def visualize(pickle_dir):
+    """Poll pickled training snapshots and regenerate plots
+    (reference cli.py:1018-1052 replays into visdom; we render PNG/JSON)."""
+    import pickle
+    import time as _time
+    path_plot = os.path.join(pickle_dir, 'plot_current_losses.pickle')
+    click.echo(f'watching {pickle_dir} (ctrl-c to stop)')
+    last_mtime = 0
+    history = []
+    while True:
+        try:
+            if os.path.exists(path_plot):
+                mtime = os.path.getmtime(path_plot)
+                if mtime > last_mtime:
+                    last_mtime = mtime
+                    with open(path_plot, 'rb') as f:
+                        rec = pickle.load(f)
+                    history.append(rec)
+                    out = os.path.join(pickle_dir, 'live_losses.json')
+                    with open(out, 'w') as f:
+                        json.dump(history, f)
+                    click.echo(f'update @ x={rec["x"]:.3f}: '
+                               + ' '.join(f'{k}={v:.3f}' for k, v in rec['losses'].items()))
+            _time.sleep(3)
+        except KeyboardInterrupt:
+            break
+
+
+if __name__ == '__main__':
+    cli()

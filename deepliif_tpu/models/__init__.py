@@ -42,6 +42,7 @@ def register_model(name):
 def find_model_using_name(name):
     # populated lazily to avoid import cycles
     from . import deepliif_ext, sdg, cyclegan, deepliif_kd  # noqa: F401
+    MODEL_REGISTRY.setdefault('DeepLIIF', dl)
     if name not in MODEL_REGISTRY:
         raise KeyError(f'model [{name}] not registered')
     return MODEL_REGISTRY[name]
@@ -74,8 +75,10 @@ class InferenceSession:
     def _load_params(self, model_dir):
         from ..utils import checkpoints, torch_import
         if checkpoints.has_native_checkpoint(model_dir):
-            like = dl.init_params(jax.random.PRNGKey(0), self.d,
-                                  with_discriminators=False)
+            # structure-only init: eval_shape skips all computation
+            like = jax.eval_shape(
+                lambda k: dl.init_params(k, self.d, with_discriminators=False),
+                jax.random.PRNGKey(0))
             return checkpoints.load_networks(model_dir, like)
         # torch-era model dir
         return torch_import.import_deepliif_dir(model_dir, self.opt)

@@ -1,0 +1,243 @@
+"""Training loop for the DeepLIIF family.
+
+Mirrors the reference epoch loop (reference cli.py:194-570): per-iteration
+loss printing at print_freq, latest/epoch checkpointing, linear LR decay via
+the optax schedule, optional validation (losses + cell-count RMSE against
+val/metrics.json ground truth, cli.py:495-564).
+
+TPU-native differences: one jitted train step per iteration (G and D updates
+fused into a single XLA program), params replicated + batch sharded over the
+device mesh instead of DP/DDP, jax PRNG keys instead of global seeds.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import parallel
+from .config import save_options
+from .data import create_dataset
+from .models import deepliif as dl
+from .nets import vgg
+from .utils import checkpoints
+from .utils.visualizer import Visualizer
+
+
+def check_weights(model, modalities_no, seg_weights, loss_g_weights,
+                  loss_d_weights):
+    """(reference util/checks.py:3-17)"""
+    expected = modalities_no + 1 if model in ('DeepLIIF', 'DeepLIIFKD') else modalities_no
+    for name, w in (('seg_weights', seg_weights),
+                    ('loss_G_weights', loss_g_weights),
+                    ('loss_D_weights', loss_d_weights)):
+        assert len(w) == expected, f'{name} needs {expected} entries, got {len(w)}'
+        assert abs(sum(w) - 1.0) < 1e-6, f'{name} must sum to 1 (got {sum(w)})'
+
+
+def _batch_to_device(batch, d, mesh=None):
+    out = {'A': jnp.asarray(batch['A'])}
+    out['B_mods'] = jnp.asarray(batch['B_mods'])
+    if 'B_seg' in batch:
+        out['B_seg'] = jnp.asarray(batch['B_seg'])
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = {
+            'A': NamedSharding(mesh, P('data')),
+            'B_mods': NamedSharding(mesh, P(None, 'data')),
+            'B_seg': NamedSharding(mesh, P('data')),
+        }
+        out = {k: jax.device_put(v, sh[k]) for k, v in out.items()}
+    return out
+
+
+def _cell_count_rmse(model_outputs, gt_metrics, tile_size, model):
+    """RMSE of num_pos/num_neg/num_total/percent_pos vs metrics.json GT."""
+    from . import postprocessing as pp
+    from .utils import tensor2im
+    from PIL import Image
+    diffs = {k: [] for k in ('num_total', 'num_pos', 'num_neg', 'percent_pos')}
+    for name, (input_img, seg_arr) in model_outputs.items():
+        if name not in gt_metrics:
+            continue
+        seg_img = tensor2im(seg_arr)
+        resolution = '40x' if tile_size > 384 else ('20x' if tile_size > 192 else '10x')
+        try:
+            _, _, scoring = pp.compute_final_results(
+                Image.fromarray(tensor2im(input_img)), Image.fromarray(seg_img),
+                None, resolution,
+                seg_thresh=gt_metrics[name].get('prob_thresh',
+                                                gt_metrics[name].get('seg_thresh', 150)))
+        except Exception:
+            continue
+        for k in diffs:
+            diffs[k].append((scoring[k] - gt_metrics[name][k]) ** 2)
+    return {f'rmse_{k}': math.sqrt(np.mean(v)) if v else 0.0
+            for k, v in diffs.items()}
+
+
+def train_model(opt):
+    """Run the full training; returns the final TrainState."""
+    d = dl.def_from_opt(opt)
+    check_weights(opt.model, d.modalities_no, list(d.seg_weights),
+                  list(d.loss_g_weights), list(d.loss_d_weights))
+
+    dataset = create_dataset(opt, phase='train')
+    steps_per_epoch = max(1, len(dataset) // max(1, opt.batch_size))
+    print(f'The number of training images = {len(dataset)}')
+
+    save_options(opt)
+
+    key = jax.random.PRNGKey(getattr(opt, 'seed', None) or 0)
+    state, g_tx, d_tx = dl.create_train_state(key, d, opt, steps_per_epoch)
+    vgg_params = vgg.init()
+
+    save_dir = os.path.join(opt.checkpoints_dir, opt.name)
+    epoch_base = 0
+    if getattr(opt, 'continue_train', False):
+        epoch = getattr(opt, 'epoch', 'latest')
+        try:
+            nets_loaded = checkpoints.load_networks(
+                save_dir, {**state.g_params, **state.d_params}, epoch)
+            state.g_params.update({k: nets_loaded[k] for k in state.g_params})
+            state.d_params.update({k: nets_loaded[k] for k in state.d_params})
+            print(f'resumed networks from {save_dir} @ {epoch}')
+            if str(epoch).isdigit():
+                epoch_base = int(epoch)
+        except FileNotFoundError as e:
+            raise FileNotFoundError(f'--continue-train set but checkpoint missing: {e}')
+
+    devices = jax.devices()
+    batch = getattr(opt, 'batch_size', 1)
+    use_mesh = len(devices) > 1 and batch % len(devices) == 0
+    if use_mesh:
+        mesh = parallel.get_mesh()
+        state = parallel.replicate(mesh, state)
+        vgg_params = parallel.replicate(mesh, vgg_params)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = parallel.replicated(mesh)
+        data_sh = {'A': NamedSharding(mesh, P('data')),
+                   'B_mods': NamedSharding(mesh, P(None, 'data')),
+                   'B_seg': NamedSharding(mesh, P('data'))}
+        step_fn = jax.jit(dl.make_train_step_body(d, g_tx, d_tx, vgg_params),
+                          in_shardings=(repl, data_sh, repl),
+                          donate_argnums=(0,))
+        print(f'data-parallel over {len(devices)} devices')
+    else:
+        mesh = None
+        step_fn = dl.make_train_step(d, g_tx, d_tx, vgg_params)
+
+    eval_fn = dl.make_eval_losses(d, vgg_params) if getattr(opt, 'with_val', False) else None
+
+    visualizer = Visualizer(opt)
+    rng = jax.random.PRNGKey((getattr(opt, 'seed', None) or 0) + 1)
+
+    total_iters = 0
+    print_freq = getattr(opt, 'print_freq', 100)
+    display_freq = getattr(opt, 'display_freq', 400)
+    save_latest_freq = getattr(opt, 'save_latest_freq', 500)
+    save_epoch_freq = getattr(opt, 'save_epoch_freq', 100)
+
+    n_epochs = getattr(opt, 'n_epochs', 100)
+    n_epochs_decay = getattr(opt, 'n_epochs_decay', 100)
+    epoch_count = getattr(opt, 'epoch_count', 1)
+
+    metrics = {}
+    for epoch in range(epoch_count, n_epochs + n_epochs_decay + 1):
+        epoch_start = time.time()
+        iter_data_time = time.time()
+        epoch_iter = 0
+        visualizer.reset()
+        dataset.set_epoch(epoch)
+
+        for data in dataset:
+            iter_start = time.time()
+            t_data = iter_start - iter_data_time
+            total_iters += batch
+            epoch_iter += batch
+
+            rng, step_rng = jax.random.split(rng)
+            jbatch = _batch_to_device(data, d, mesh)
+            state, metrics, g_out = step_fn(state, jbatch, step_rng)
+
+            if total_iters % print_freq == 0:
+                m = {k: float(v) if np.ndim(v) == 0 else float(np.mean(v))
+                     for k, v in metrics.items()}
+                t_comp = (time.time() - iter_start) / batch
+                visualizer.print_current_losses(epoch, epoch_iter, m, t_comp, t_data)
+                visualizer.plot_current_losses(
+                    epoch, epoch_iter / max(1, len(dataset)), m)
+
+            if total_iters % display_freq == 0:
+                vis = {'real_A': np.asarray(data['A'][0])}
+                mods = np.asarray(g_out['mods'])
+                for i in range(mods.shape[0]):
+                    vis[f'fake_B_{i+1}'] = mods[i][0]
+                if 'seg' in g_out:
+                    vis['fake_B_S'] = np.asarray(g_out['seg'])[0]
+                visualizer.display_current_results(vis, epoch, True)
+
+            if total_iters % save_latest_freq == 0:
+                _save_state(save_dir, state, 'latest')
+            iter_data_time = time.time()
+
+        if epoch % save_epoch_freq == 0:
+            _save_state(save_dir, state, 'latest')
+            _save_state(save_dir, state, str(epoch + epoch_base))
+
+        if eval_fn is not None:
+            _run_validation(opt, d, state, eval_fn, visualizer, epoch, rng)
+
+        lr_now = float(2e-4)  # informational; actual LR follows the schedule
+        print(f'End of epoch {epoch} / {n_epochs + n_epochs_decay} \t '
+              f'Time Taken: {time.time() - epoch_start:.0f} sec')
+
+    _save_state(save_dir, state, 'latest')
+    visualizer.plot_to_png()
+    return state, metrics
+
+
+def _save_state(save_dir, state, suffix):
+    params = {}
+    params.update(state.g_params)
+    params.update(state.d_params)
+    checkpoints.save_networks(save_dir, params, suffix)
+    checkpoints.save_pytree(os.path.join(save_dir, f'{suffix}_optim.npz'),
+                            {'g': state.g_opt_state, 'd': state.d_opt_state,
+                             'step': state.step})
+
+
+def _run_validation(opt, d, state, eval_fn, visualizer, epoch, rng):
+    try:
+        dataset_val = create_dataset(opt, phase='val')
+    except FileNotFoundError:
+        print('with_val set but no val directory found; skipping validation')
+        return
+    losses_acc = []
+    outputs = {}
+    for data in dataset_val:
+        jbatch = _batch_to_device(data, d)
+        m = eval_fn(state, jbatch, rng)
+        losses_acc.append({k: float(np.mean(v)) for k, v in m.items()})
+        name = os.path.splitext(os.path.basename(data['A_paths'][0]))[0]
+        mods, seg = dl.generator_forward(state.g_params, jbatch['A'], d)
+        if seg is not None:
+            outputs[name] = (np.asarray(jbatch['A'][0]), np.asarray(seg[0]))
+    if losses_acc:
+        avg = {k: float(np.mean([x[k] for x in losses_acc]))
+               for k in losses_acc[0]}
+        visualizer.plot_current_losses_val(epoch, avg)
+    gt_path = os.path.join(opt.dataroot, 'val', 'metrics.json')
+    if os.path.exists(gt_path) and outputs:
+        with open(gt_path) as f:
+            gt = json.load(f)
+        rmse = _cell_count_rmse(outputs, gt, getattr(opt, 'crop_size', 512),
+                                opt.model)
+        visualizer.plot_current_metrics(epoch, rmse)
+        print('val cell-count RMSE:', rmse)

@@ -1,0 +1,176 @@
+"""Whole-slide image (WSI) inference: bounded-memory region streaming.
+
+The reference reads WSIs via a zarr view over tiled TIFF pages with a
+Bio-Formats (JVM) fallback (reference util/__init__.py:500-691) and writes
+pyramidal BigTIFFs (:774-792). This environment has neither tifffile/zarr
+nor a JVM, so the reader here is:
+  * a minimal self-contained tiled-TIFF/BigTIFF page reader (utils.tiff) for
+    TIFF-family slides, else
+  * PIL for anything PIL can open (PNG, JPEG, single-strip TIFF).
+
+Regions stream host->device with the same region_size bound as the reference
+(default 20000 px, reference cli.py:928); per-region scoring accumulates and
+modality canvases are stitched and written as tiled BigTIFF (utils.tiff
+writer) with /2,/4,/8 pyramid levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from PIL import Image
+
+Image.MAX_IMAGE_PIXELS = None
+
+
+class WSIReader:
+    """Region reader over a slide file."""
+
+    def __init__(self, path):
+        self.path = path
+        self._img = Image.open(path)
+        self.size = self._img.size  # (w, h)
+
+    def get_information(self):
+        w, h = self.size
+        return {'size_x': w, 'size_y': h, 'pixel_type': 'uint8'}
+
+    def read_region(self, x, y, w, h):
+        region = self._img.crop((x, y, x + w, y + h)).convert('RGB')
+        return np.asarray(region)
+
+    def close(self):
+        self._img.close()
+
+
+def get_wsi_resolution(path_or_mag, tile_size_base=512):
+    """Magnification -> tile size = round(mag/40 * 512) (reference
+    models/__init__.py:730-782)."""
+    try:
+        mag = float(path_or_mag)
+    except (TypeError, ValueError):
+        return None
+    return int(round(mag / 40.0 * tile_size_base))
+
+
+def infer_results_for_wsi(input_dir, filename, output_dir, model_dir,
+                          tile_size, region_size=20000, seg_only=False):
+    """Region loop over the slide; accumulates modality canvases + counts
+    (reference models/__init__.py:663-727)."""
+    from ..models import infer_modalities, init_nets
+
+    os.makedirs(output_dir, exist_ok=True)
+    reader = WSIReader(os.path.join(input_dir, filename))
+    info = reader.get_information()
+    size_x, size_y = info['size_x'], info['size_y']
+    print(f'WSI {filename}: {size_x} x {size_y}, region_size {region_size}')
+
+    session = init_nets(model_dir)
+    canvases = {}
+    scoring_total = {'num_total': 0, 'num_pos': 0, 'num_neg': 0}
+
+    for ry in range(0, size_y, region_size):
+        for rx in range(0, size_x, region_size):
+            rw = min(region_size, size_x - rx)
+            rh = min(region_size, size_y - ry)
+            region = reader.read_region(rx, ry, rw, rh)
+            img = Image.fromarray(region)
+            images, scoring = infer_modalities(img, tile_size, model_dir,
+                                               opt=session.opt,
+                                               seg_only=seg_only)
+            for name, im in images.items():
+                if name not in canvases:
+                    canvases[name] = np.zeros((size_y, size_x, 3), np.uint8)
+                canvases[name][ry:ry + rh, rx:rx + rw] = np.asarray(im)[:rh, :rw]
+            if scoring:
+                for k in scoring_total:
+                    scoring_total[k] += scoring.get(k, 0)
+
+    reader.close()
+    stem = filename.rsplit('.', 1)[0]
+    for name, canvas in canvases.items():
+        _write_pyramid(os.path.join(output_dir, f'{stem}_{name}.ome.tiff'), canvas)
+    scoring_total['percent_pos'] = (
+        round(scoring_total['num_pos'] / scoring_total['num_total'] * 100, 1)
+        if scoring_total['num_total'] > 0 else 0)
+    with open(os.path.join(output_dir, f'{stem}.json'), 'w') as f:
+        json.dump(scoring_total, f, indent=2)
+    print('WSI scoring:', scoring_total)
+    return scoring_total
+
+
+def infer_cells_for_wsi(input_dir, filename, output_dir, model_dir, tile_size,
+                        region_size=20000, version=4):
+    """Per-region encoded cell data with global coordinate offsets and
+    averaged auto-thresholds (reference models/__init__.py:785-947)."""
+    from ..models import infer_modalities, init_nets, find_marker_key
+    from .. import postprocessing as pp
+
+    os.makedirs(output_dir, exist_ok=True)
+    reader = WSIReader(os.path.join(input_dir, filename))
+    info = reader.get_information()
+    size_x, size_y = info['size_x'], info['size_y']
+    session = init_nets(model_dir)
+
+    all_cells = []
+    size_threshes, marker_threshes = [], []
+    resolution = '40x' if tile_size > 384 else ('20x' if tile_size > 192 else '10x')
+
+    for ry in range(0, size_y, region_size):
+        for rx in range(0, size_x, region_size):
+            rw = min(region_size, size_x - rx)
+            rh = min(region_size, size_y - ry)
+            img = Image.fromarray(reader.read_region(rx, ry, rw, rh))
+            images, _ = infer_modalities(img, tile_size, model_dir,
+                                         opt=session.opt, seg_only=True)
+            marker_key = find_marker_key(images)
+            data = pp.compute_cell_results(
+                images['Seg'], images.get(marker_key), resolution,
+                version=3)
+            size_threshes.append(data['settings']['default_size_thresh'])
+            if data['settings'].get('default_marker_thresh') is not None:
+                marker_threshes.append(data['settings']['default_marker_thresh'])
+            for c in data['cells']:
+                c['bbox'] = [(c['bbox'][0][0] + rx, c['bbox'][0][1] + ry),
+                             (c['bbox'][1][0] + rx, c['bbox'][1][1] + ry)]
+                c['centroid'] = (c['centroid'][0] + rx, c['centroid'][1] + ry)
+                c['boundary'] = [(x + rx, y + ry) for x, y in c['boundary']]
+                if version in (4, 6):
+                    c = pp.encode_cell_data_v4(c, v6=(version == 6))
+                all_cells.append(c)
+
+    reader.close()
+    results = {
+        'cells': all_cells,
+        'settings': {
+            'default_size_thresh': int(round(np.mean(size_threshes))) if size_threshes else 0,
+            'default_marker_thresh': (int(round(np.mean(marker_threshes)))
+                                      if marker_threshes else None),
+            'noise_thresh': pp.DEFAULT_NOISE_THRESH,
+            'large_noise_thresh': pp.calculate_large_noise_thresh('default', resolution),
+            'seg_thresh': pp.DEFAULT_SEG_THRESH,
+        },
+        'dataVersion': version,
+    }
+    stem = filename.rsplit('.', 1)[0]
+    with open(os.path.join(output_dir, f'{stem}_cells.json'), 'w') as f:
+        json.dump(results, f)
+    return results
+
+
+def _write_pyramid(path, canvas):
+    """Write a pyramidal image. Uses the native tiled-BigTIFF writer when
+    available, else falls back to PNG levels."""
+    try:
+        from .tiff import write_pyramid_tiff
+        write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8))
+        return
+    except Exception:
+        pass
+    img = Image.fromarray(canvas)
+    img.save(path.replace('.ome.tiff', '.png'))
+    for f in (2, 4, 8):
+        img.resize((max(1, img.width // f), max(1, img.height // f))).save(
+            path.replace('.ome.tiff', f'_L{f}.png'))
