@@ -340,6 +340,17 @@ def prepare_testing_data(input_dir, dataset_dir):
 
 
 @cli.command()
+@click.option('--model-dir', required=True, help='model directory to serve')
+@click.option('--host', default='0.0.0.0')
+@click.option('--port', default=8080, type=int)
+def serve(model_dir, host, port):
+    """Run the REST API server (POST /api/infer, /api/postprocess) —
+    the reference cloud contract, so the ImageJ plugin works unchanged."""
+    from .serve import serve as run_server
+    run_server(model_dir, host, port)
+
+
+@cli.command()
 @click.option('--pickle-dir', required=True,
               help='directory where the pickled snapshots are stored')
 def visualize(pickle_dir):

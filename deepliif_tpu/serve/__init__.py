@@ -1,0 +1,207 @@
+"""REST serving: the reference cloud API contract, self-hosted.
+
+Implements the deepliif.org endpoints (reference README.md:308-463) so the
+unchanged ImageJ plugin and client scripts work against this framework:
+
+  POST /api/infer        multipart 'img' + query resolution/pil/slim/nopost/
+                         prob_thresh/size_thresh/size_thresh_upper/
+                         marker_thresh -> {'images': {name: b64 png},
+                         'scoring': {...}}
+  POST /api/postprocess  multipart 'img' + 'seg_img' [+ 'marker_img'] +
+                         the same thresholds -> images + scoring
+
+Built on stdlib ThreadingHTTPServer (no flask in this environment); the
+model is one cached InferenceSession, so concurrent requests share the
+compiled ensemble. Replaces the reference's TorchServe DAG
+(model-server/deepliif_workflow.yaml): the whole DAG is one jitted program.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+RESOLUTION_TILE_SIZE = {'40x': 512, '20x': 256, '10x': 128}
+
+
+def parse_multipart(body, content_type):
+    """Minimal multipart/form-data parser -> {field_name: bytes}."""
+    m = re.search(r'boundary=("?)([^";]+)\1', content_type)
+    if not m:
+        raise ValueError('no multipart boundary')
+    boundary = m.group(2).encode()
+    parts = body.split(b'--' + boundary)
+    fields = {}
+    for part in parts:
+        if b'\r\n\r\n' not in part:
+            continue
+        headers, _, content = part.partition(b'\r\n\r\n')
+        nm = re.search(rb'name="([^"]+)"', headers)
+        if not nm:
+            continue
+        content = content.rstrip(b'\r\n')
+        if content.endswith(b'--'):
+            content = content[:-2].rstrip(b'\r\n')
+        fields[nm.group(1).decode()] = content
+    return fields
+
+
+def _b64_png(img):
+    buf = io.BytesIO()
+    img.save(buf, format='PNG')
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _parse_thresholds(q):
+    def first(key, default=None):
+        return q.get(key, [default])[0]
+
+    prob_thresh = int(first('prob_thresh', 150))
+    size_thresh = first('size_thresh', 'auto')
+    if size_thresh == 'auto':
+        size_thresh = 'default'
+    elif size_thresh != 'default':
+        size_thresh = int(size_thresh)
+    size_up = first('size_thresh_upper', 'none')
+    size_up = None if size_up in ('none', None) else int(size_up)
+    marker_thresh = first('marker_thresh', 'none')
+    if marker_thresh in ('none', None):
+        marker_thresh = None
+    elif marker_thresh == 'auto':
+        marker_thresh = 'default'
+    else:
+        marker_thresh = int(marker_thresh)
+    return prob_thresh, size_thresh, size_up, marker_thresh
+
+
+def make_handler(model_dir):
+    from PIL import Image
+
+    from .. import postprocessing as pp
+    from ..models import infer_modalities, init_nets, find_marker_key
+
+    session_lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def _json(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header('Content-Type', 'application/json')
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if urlparse(self.path).path in ('/healthz', '/'):
+                self._json(200, {'status': 'ok', 'model_dir': model_dir})
+            else:
+                self._json(404, {'error': 'not found'})
+
+        def do_POST(self):
+            try:
+                url = urlparse(self.path)
+                q = parse_qs(url.query, keep_blank_values=True)
+                length = int(self.headers.get('Content-Length', 0))
+                body = self.rfile.read(length)
+                fields = parse_multipart(body, self.headers.get('Content-Type', ''))
+
+                if url.path == '/api/infer':
+                    self._infer(fields, q)
+                elif url.path == '/api/postprocess':
+                    self._postprocess(fields, q)
+                else:
+                    self._json(404, {'error': f'unknown endpoint {url.path}'})
+            except Exception as e:  # noqa: BLE001 — report to client
+                self._json(500, {'error': f'{type(e).__name__}: {e}'})
+
+        def _infer(self, fields, q):
+            if 'img' not in fields:
+                self._json(400, {'error': "missing file parameter 'img'"})
+                return
+            img = Image.open(io.BytesIO(fields['img'])).convert('RGB')
+            resolution = q.get('resolution', ['40x'])[0]
+            tile_size = RESOLUTION_TILE_SIZE.get(resolution, 512)
+            slim = 'slim' in q
+            nopost = 'nopost' in q
+            prob_thresh, size_thresh, size_up, marker_thresh = _parse_thresholds(q)
+
+            from ..models import inference
+            with session_lock:
+                session = init_nets(model_dir)
+                images = inference(img, tile_size=tile_size,
+                                   overlap_size=tile_size // 16,
+                                   model_path=model_dir, opt=session.opt,
+                                   session=session,
+                                   mod_only=not getattr(session.opt, 'seg_gen', True))
+            scoring = None
+            if not nopost and 'Seg' in images:
+                marker = images.get(find_marker_key(images))
+                overlay, refined, scoring = pp.compute_final_results(
+                    img, images['Seg'],
+                    np.asarray(marker.convert('L')) if marker is not None else None,
+                    resolution, size_thresh, marker_thresh, size_up,
+                    prob_thresh)
+                images['SegOverlaid'] = Image.fromarray(overlay)
+                images['SegRefined'] = Image.fromarray(refined)
+            if slim:
+                images = {k: v for k, v in images.items() if k == 'SegRefined'}
+            self._json(200, {
+                'images': {k: _b64_png(v) for k, v in images.items()},
+                'scoring': scoring,
+            })
+
+        def _postprocess(self, fields, q):
+            for req in ('img', 'seg_img'):
+                if req not in fields:
+                    self._json(400, {'error': f"missing file parameter '{req}'"})
+                    return
+            img = Image.open(io.BytesIO(fields['img'])).convert('RGB')
+            seg = Image.open(io.BytesIO(fields['seg_img'])).convert('RGB')
+            marker = None
+            if 'marker_img' in fields:
+                marker = np.asarray(
+                    Image.open(io.BytesIO(fields['marker_img'])).convert('L'))
+            resolution = q.get('resolution', ['40x'])[0]
+            prob_thresh, size_thresh, size_up, marker_thresh = _parse_thresholds(q)
+            overlay, refined, scoring = pp.compute_final_results(
+                img, seg, marker, resolution, size_thresh, marker_thresh,
+                size_up, prob_thresh)
+            self._json(200, {
+                'images': {
+                    'SegOverlaid': _b64_png(Image.fromarray(overlay)),
+                    'SegRefined': _b64_png(Image.fromarray(refined)),
+                },
+                'scoring': scoring,
+            })
+
+    return Handler
+
+
+def serve(model_dir, host='0.0.0.0', port=8080):
+    server = ThreadingHTTPServer((host, port), make_handler(model_dir))
+    print(f'serving DeepLIIF-TPU model {model_dir} on {host}:{port}')
+    server.serve_forever()
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser(description='DeepLIIF-TPU REST server')
+    ap.add_argument('--model-dir', required=True)
+    ap.add_argument('--host', default='0.0.0.0')
+    ap.add_argument('--port', type=int, default=8080)
+    args = ap.parse_args()
+    serve(args.model_dir, args.host, args.port)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,335 @@
+"""Evaluation metrics suite.
+
+Re-implements the reference's offline evaluation tooling
+(/root/reference/DeepLIIF_Statistics/) in numpy/JAX:
+  * segmentation: IOU/precision/recall/F1/Dice/pixAcc with the reference's
+    zero-TP special case (Segmentation_Metrics.py:13-58) and AJI
+    (Aggregated Jaccard Index, greedy matching, :66-105), per pos/neg channel;
+  * image: MSE, PSNR, SSIM (skimage-default 7x7 uniform window);
+  * SWD (sliced Wasserstein distance over Laplacian pyramids, swd.py);
+  * Inception Score / FID with a pluggable feature extractor — pretrained
+    InceptionV3 weights are not downloadable in this environment, so the
+    default embedding is the fixed-seed VGG19 features (documented
+    deviation; pass your own `features_fn` for paper-parity numbers);
+  * get_cell_count_metrics: ground-truth cell-count generator feeding the
+    --with-val RMSE (reference deepliif/stat/__init__.py:8-96).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from scipy import ndimage
+
+_S8 = np.ones((3, 3), bool)
+
+
+# ---------------------------------------------------------------------------
+# segmentation metrics
+# ---------------------------------------------------------------------------
+
+def compute_metrics(mask_img, gt_img):
+    """Binary metrics with the reference's zero-TP convention
+    (Segmentation_Metrics.py:13-40)."""
+    mask = np.asarray(mask_img) > 0
+    gt = np.asarray(gt_img) > 0
+    tp = int(np.sum(mask & gt))
+    fp = int(np.sum(mask & ~gt))
+    fn = int(np.sum(~mask & gt))
+    tn = int(np.sum(~mask & ~gt))
+    if tp == 0:
+        if gt.any() or fp > 0:
+            return dict(IOU=0., precision=0., recall=0., f1=0., Dice=0., PixAcc=0.)
+        return dict(IOU=1., precision=1., recall=1., f1=1., Dice=1., PixAcc=1.)
+    iou = tp / (tp + fp + fn)
+    precision = tp / (tp + fp)
+    recall = tp / (tp + fn)
+    f1 = 2 * precision * recall / (precision + recall)
+    dice = 2 * tp / (2 * tp + fp + fn)
+    pixacc = (tp + tn) / (tp + tn + fp + fn)
+    return dict(IOU=iou, precision=precision, recall=recall, f1=f1,
+                Dice=dice, PixAcc=pixacc)
+
+
+def compute_aji(gt_image, mask_image):
+    """Aggregated Jaccard Index with greedy unmarked-best matching
+    (Segmentation_Metrics.py:66-105), vectorized via label histograms."""
+    gt_lab, n_gt = ndimage.label(np.asarray(gt_image) > 0, structure=_S8)
+    mk_lab, n_mk = ndimage.label(np.asarray(mask_image) > 0, structure=_S8)
+    if n_gt == 0 and n_mk == 0:
+        return 0.0
+    gt_sizes = np.bincount(gt_lab.ravel(), minlength=n_gt + 1)
+    mk_sizes = np.bincount(mk_lab.ravel(), minlength=n_mk + 1)
+    # pairwise intersections via joint histogram
+    joint = np.zeros((n_gt + 1, n_mk + 1), np.int64)
+    np.add.at(joint, (gt_lab.ravel(), mk_lab.ravel()), 1)
+
+    marked = np.zeros(n_mk + 1, bool)
+    total_intersection = 0
+    total_union = 0
+    for g in range(1, n_gt + 1):
+        inter = joint[g].copy()
+        inter[0] = 0
+        inter[marked] = 0
+        best, best_i = 0, -1
+        # reference picks the first strictly-larger intersection in mask order
+        for i in range(1, n_mk + 1):
+            if inter[i] > best:
+                best, best_i = int(inter[i]), i
+        if best > 0:
+            marked[best_i] = True
+            total_intersection += best
+            total_union += int(gt_sizes[g] + mk_sizes[best_i] - best)
+    total_u = int(mk_sizes[1:][~marked[1:]].sum())
+    denom = total_union + total_u
+    return total_intersection / denom if denom > 0 else 0.0
+
+
+def segmentation_metrics_posneg(mask_rgb, gt_rgb, include_aji=False):
+    """Per pos (R) / neg (B) channel metrics (Segmentation_Metrics.py:120-180)."""
+    mask_rgb = np.asarray(mask_rgb)
+    gt_rgb = np.asarray(gt_rgb)
+    out = {}
+    for name, ch in (('Positive', 0), ('Negative', 2)):
+        m = compute_metrics(mask_rgb[..., ch], gt_rgb[..., ch])
+        if include_aji:
+            m['AJI'] = compute_aji(gt_rgb[..., ch], mask_rgb[..., ch])
+        out[name] = {k: v * 100 for k, v in m.items()}
+    return out
+
+
+# ---------------------------------------------------------------------------
+# image similarity
+# ---------------------------------------------------------------------------
+
+def mse(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(((a - b) ** 2).mean())
+
+
+def psnr(a, b, data_range=255.0):
+    m = mse(a, b)
+    if m == 0:
+        return float('inf')
+    return float(10 * np.log10(data_range ** 2 / m))
+
+
+def ssim(a, b, data_range=None, win_size=7):
+    """Mean SSIM with a uniform win_size window (skimage defaults:
+    K1=0.01, K2=0.03, uniform filter, sample covariance normalization)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.ndim == 3:
+        return float(np.mean([ssim(a[..., c], b[..., c], data_range, win_size)
+                              for c in range(a.shape[-1])]))
+    if data_range is None:
+        data_range = b.max() - b.min()
+    k1, k2 = 0.01, 0.03
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    n = win_size ** 2
+    cov_norm = n / (n - 1)
+
+    def f(x):
+        return ndimage.uniform_filter(x, win_size)
+
+    ux, uy = f(a), f(b)
+    uxx, uyy, uxy = f(a * a), f(b * b), f(a * b)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / ((ux ** 2 + uy ** 2 + c1) * (vx + vy + c2))
+    pad = (win_size - 1) // 2
+    return float(s[pad:-pad, pad:-pad].mean())
+
+
+# ---------------------------------------------------------------------------
+# SWD (sliced Wasserstein distance; reference swd.py:97-157)
+# ---------------------------------------------------------------------------
+
+_GAUSS5 = np.array([1, 4, 6, 4, 1], np.float64)
+_GAUSS5 = np.outer(_GAUSS5, _GAUSS5) / 256.0
+
+
+def _pyr_down(x):
+    # blur + stride 2 (per channel)
+    out = np.stack([ndimage.convolve(x[..., c], _GAUSS5, mode='reflect')
+                    for c in range(x.shape[-1])], -1)
+    return out[::2, ::2]
+
+
+def _pyr_up(x, shape):
+    up = np.zeros((x.shape[0] * 2, x.shape[1] * 2, x.shape[2]))
+    up[::2, ::2] = x * 4
+    up = np.stack([ndimage.convolve(up[..., c], _GAUSS5, mode='reflect')
+                   for c in range(x.shape[-1])], -1)
+    return up[:shape[0], :shape[1]]
+
+
+def laplacian_pyramid(img, n_levels):
+    pyr = [np.asarray(img, np.float64)]
+    for _ in range(n_levels):
+        pyr.append(_pyr_down(pyr[-1]))
+    lap = []
+    for i in range(len(pyr) - 1):
+        lap.append(pyr[i] - _pyr_up(pyr[i + 1], pyr[i].shape))
+    lap.append(pyr[-1])
+    return lap
+
+
+def swd(images_a, images_b, n_levels=4, n_descriptors=4096, patch=7,
+        n_projections=128, seed=0):
+    """Sliced Wasserstein distance between two image sets over Laplacian
+    pyramid levels (uint8 HWC arrays). Returns per-level + mean distances."""
+    rng = np.random.default_rng(seed)
+
+    def descriptors(images, level):
+        descs = []
+        per_img = max(1, n_descriptors // max(1, len(images)))
+        for img in images:
+            lap = laplacian_pyramid(img, n_levels)[level]
+            h, w = lap.shape[:2]
+            if h < patch or w < patch:
+                continue
+            ys = rng.integers(0, h - patch + 1, per_img)
+            xs = rng.integers(0, w - patch + 1, per_img)
+            for y, x in zip(ys, xs):
+                descs.append(lap[y:y + patch, x:x + patch].ravel())
+        d = np.asarray(descs)
+        d = (d - d.mean(0)) / (d.std(0) + 1e-8)
+        return d
+
+    results = {}
+    for level in range(n_levels + 1):
+        da = descriptors(images_a, level)
+        db = descriptors(images_b, level)
+        n = min(len(da), len(db))
+        if n == 0:
+            continue
+        da, db = da[:n], db[:n]
+        proj = rng.normal(size=(da.shape[1], n_projections))
+        proj /= np.linalg.norm(proj, axis=0, keepdims=True)
+        pa = np.sort(da @ proj, axis=0)
+        pb = np.sort(db @ proj, axis=0)
+        results[f'level_{level}'] = float(np.abs(pa - pb).mean())
+    results['mean'] = float(np.mean(list(results.values())))
+    return results
+
+
+# ---------------------------------------------------------------------------
+# IS / FID with pluggable features
+# ---------------------------------------------------------------------------
+
+def default_features_fn():
+    """Fixed-seed VGG19 embedding (mean-pooled slice-5 features). NOT
+    Inception-V3: use for relative comparisons only, or pass a custom
+    features_fn loaded from converted Inception weights."""
+    import jax
+    import jax.numpy as jnp
+    from ..nets import vgg
+    params = vgg.init(jax.random.PRNGKey(19))
+
+    @jax.jit
+    def fn(x):  # x: (B,H,W,3) in [-1,1]
+        feats = vgg.features(params, x)[-1]
+        return feats.mean(axis=(1, 2))
+
+    def wrapper(images_u8):
+        x = jnp.asarray(np.asarray(images_u8, np.float32) / 127.5 - 1.0)
+        return np.asarray(fn(x))
+    return wrapper
+
+
+def frechet_distance(feats_a, feats_b, eps=1e-6):
+    from scipy import linalg
+    mu1, mu2 = feats_a.mean(0), feats_b.mean(0)
+    s1 = np.cov(feats_a, rowvar=False)
+    s2 = np.cov(feats_b, rowvar=False)
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(s1 @ s2, disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(s1.shape[0]) * eps
+        covmean = linalg.sqrtm((s1 + offset) @ (s2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(s1) + np.trace(s2) - 2 * np.trace(covmean))
+
+
+def fid(images_a, images_b, features_fn=None):
+    features_fn = features_fn or default_features_fn()
+    return frechet_distance(features_fn(images_a), features_fn(images_b))
+
+
+def inception_score(images, classifier_fn=None, splits=10):
+    """IS = exp(E KL(p(y|x) || p(y))). classifier_fn: images -> logits."""
+    if classifier_fn is None:
+        feats_fn = default_features_fn()
+
+        def classifier_fn(imgs):
+            f = feats_fn(imgs)
+            e = np.exp(f - f.max(1, keepdims=True))
+            return e / e.sum(1, keepdims=True)
+    probs = classifier_fn(images)
+    scores = []
+    n = len(probs)
+    for i in range(splits):
+        part = probs[i * n // splits:(i + 1) * n // splits]
+        if len(part) == 0:
+            continue
+        py = part.mean(0, keepdims=True)
+        kl = (part * (np.log(part + 1e-12) - np.log(py + 1e-12))).sum(1).mean()
+        scores.append(np.exp(kl))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+# ---------------------------------------------------------------------------
+# cell-count ground truth (reference deepliif/stat/__init__.py:8-96)
+# ---------------------------------------------------------------------------
+
+def get_cell_count_metrics(dir_seg, dir_input=None, dir_save=None,
+                           model='DeepLIIF', tile_size=512, single_tile=False,
+                           use_marker=False, suffix_seg='5', suffix_marker='4',
+                           save_individual=False, seg_thresh=None):
+    from PIL import Image
+    from ..models import postprocess
+
+    dir_save = dir_save or dir_seg
+    dir_input = dir_input or dir_seg
+    if single_tile:
+        fns = {('_'.join(x.split('_')[:-1]))
+               for x in os.listdir(dir_seg)
+               if x.endswith(f'_{suffix_seg}.png') or x.endswith(f'_{suffix_marker}.png')}
+        fns = sorted(fns)
+    else:
+        fns = sorted(x for x in os.listdir(dir_seg) if x.endswith('.png'))
+
+    d_metrics = {}
+    for fn in fns:
+        if single_tile:
+            img_gt = Image.open(os.path.join(dir_seg, f'{fn}_{suffix_seg}.png'))
+            img_marker = Image.open(os.path.join(dir_seg, f'{fn}_{suffix_marker}.png'))
+            img_input = Image.open(os.path.join(dir_input, f'{fn}.png'))
+            k = fn
+        else:
+            img = Image.open(os.path.join(dir_seg, fn))
+            w, h = img.size
+            img_input = img.crop((0, 0, h, h))
+            img_gt = img.crop((w - h, 0, w, h))
+            img_marker = img.crop((w - h * 2, 0, w - h, h))
+            k = os.path.splitext(fn)[0]
+        images = {'Seg': img_gt}
+        if use_marker:
+            images['Marker'] = img_marker
+        kwargs = {} if seg_thresh is None else {'seg_thresh': seg_thresh}
+        _, scoring = postprocess(img_input, images, tile_size, model, **kwargs)
+        d_metrics[k] = scoring
+        if save_individual:
+            with open(os.path.join(dir_save, f'{k}.json'), 'w') as f:
+                json.dump(scoring, f, indent=2)
+
+    with open(os.path.join(dir_save, 'metrics.json'), 'w') as f:
+        json.dump(d_metrics, f, indent=2)
+    return d_metrics

@@ -1,0 +1,134 @@
+"""REST API tests: the reference cloud contract (README.md:308-463) against
+a live server with a tiny model."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from deepliif_tpu.models import deepliif as dl
+from deepliif_tpu.serve import make_handler, parse_multipart
+from deepliif_tpu.utils import checkpoints
+
+TINY_CFG = {
+    'model': 'DeepLIIF', 'modalities_no': 2, 'seg_gen': True, 'seg_no': 1,
+    'input_no': 1, 'netG': 'resnet_6blocks', 'net_gs': 'unet_32', 'ngf': 8,
+    'ndf': 8, 'norm': 'batch', 'no_dropout': False, 'padding': 'zero',
+    'upsample': 'convtranspose', 'scale_size': 64,
+    'seg_weights': [0.4, 0.3, 0.3],
+    'modalities_names': ['IHC', 'ModA', 'Marker'],
+    'background_colors': [(201, 211, 208), (10, 10, 10)],
+}
+
+
+@pytest.fixture(scope='module')
+def server(tmp_path_factory):
+    md = tmp_path_factory.mktemp('serve_model')
+    d = dl.DeepLIIFDef(modalities_no=2, net_g=('resnet_6blocks',) * 2,
+                       net_gs=('unet_32',) * 3, ngf=8, ndf=8,
+                       seg_weights=(0.4, 0.3, 0.3))
+    params = dl.init_params(jax.random.PRNGKey(7), d, with_discriminators=False)
+    checkpoints.save_networks(str(md), params)
+    with open(md / 'config.json', 'w') as f:
+        json.dump(TINY_CFG, f)
+    srv = ThreadingHTTPServer(('127.0.0.1', 0), make_handler(str(md)))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f'http://127.0.0.1:{srv.server_address[1]}'
+    srv.shutdown()
+
+
+def _multipart(files):
+    boundary = 'testboundary123'
+    body = b''
+    for name, data in files.items():
+        body += (f'--{boundary}\r\nContent-Disposition: form-data; '
+                 f'name="{name}"; filename="{name}.png"\r\n'
+                 f'Content-Type: image/png\r\n\r\n').encode() + data + b'\r\n'
+    body += f'--{boundary}--\r\n'.encode()
+    return body, f'multipart/form-data; boundary={boundary}'
+
+
+def _png_bytes(arr):
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format='PNG')
+    return buf.getvalue()
+
+
+def _post(url, files, timeout=600):
+    body, ctype = _multipart(files)
+    req = urllib.request.Request(url, data=body, method='POST',
+                                 headers={'Content-Type': ctype})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + '/healthz') as r:
+        assert json.loads(r.read())['status'] == 'ok'
+
+
+def test_infer_endpoint(server):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+    # tile size forced small via resolution=10x -> 128 still > img; use 40x
+    status, data = _post(server + '/api/infer?resolution=40x&prob_thresh=150',
+                         {'img': _png_bytes(img)})
+    assert status == 200, data
+    assert 'images' in data and 'scoring' in data
+    assert 'SegRefined' in data['images']
+    decoded = Image.open(io.BytesIO(
+        base64.b64decode(data['images']['SegRefined'])))
+    assert decoded.size == (64, 64)
+    assert {'num_total', 'num_pos', 'num_neg'} <= set(data['scoring'])
+
+
+def test_infer_slim_returns_only_refined(server):
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+    status, data = _post(server + '/api/infer?slim', {'img': _png_bytes(img)})
+    assert status == 200
+    assert set(data['images']) == {'SegRefined'}
+
+
+def test_infer_missing_img_is_400(server):
+    status, data = _post(server + '/api/infer', {'other': b'abc'})
+    assert status == 400
+    assert 'img' in data['error']
+
+
+def test_postprocess_endpoint(server):
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+    seg = np.zeros((64, 64, 3), np.uint8)
+    seg[10:20, 10:20] = (200, 0, 0)   # positive blob
+    seg[40:50, 40:50] = (0, 0, 200)   # negative blob
+    status, data = _post(
+        server + '/api/postprocess?prob_thresh=150&size_thresh=0',
+        {'img': _png_bytes(img), 'seg_img': _png_bytes(seg)})
+    assert status == 200, data
+    assert data['scoring']['num_pos'] == 1
+    assert data['scoring']['num_neg'] == 1
+
+
+def test_unknown_endpoint_404(server):
+    status, data = _post(server + '/api/bogus', {'img': b'x'})
+    assert status == 404
+
+
+def test_multipart_parser_roundtrip():
+    body, ctype = _multipart({'a': b'hello', 'b': b'\x00\x01binary\xff'})
+    fields = parse_multipart(body, ctype)
+    assert fields['a'] == b'hello'
+    assert fields['b'] == b'\x00\x01binary\xff'

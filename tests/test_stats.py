@@ -1,0 +1,92 @@
+"""Metrics suite tests: torch/skimage-free implementations verified against
+known values and reference semantics."""
+
+import numpy as np
+import pytest
+
+from deepliif_tpu import stats
+
+
+def test_compute_metrics_perfect_and_zero():
+    a = np.zeros((10, 10)); a[2:5, 2:5] = 1
+    m = stats.compute_metrics(a, a)
+    assert m['IOU'] == 1 and m['Dice'] == 1 and m['PixAcc'] == 1
+    empty = np.zeros((10, 10))
+    m2 = stats.compute_metrics(empty, empty)
+    assert m2['IOU'] == 1  # reference zero-TP empty-GT convention
+    m3 = stats.compute_metrics(a, empty)
+    assert m3['IOU'] == 0
+
+
+def test_compute_metrics_half_overlap():
+    gt = np.zeros((10, 10)); gt[0:2, 0:4] = 1         # 8 px
+    mk = np.zeros((10, 10)); mk[0:2, 2:6] = 1         # 8 px, overlap 4
+    m = stats.compute_metrics(mk, gt)
+    assert abs(m['IOU'] - 4 / 12) < 1e-9
+    assert abs(m['Dice'] - 8 / 16) < 1e-9
+    assert abs(m['precision'] - 0.5) < 1e-9
+
+
+def test_aji_identical_and_disjoint():
+    img = np.zeros((20, 20))
+    img[2:6, 2:6] = 1
+    img[10:15, 10:15] = 1
+    assert stats.compute_aji(img, img) == 1.0
+    other = np.zeros((20, 20)); other[0:3, 15:19] = 1
+    assert stats.compute_aji(img, other) == 0.0
+
+
+def test_ssim_identical_is_one_and_matches_structure():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 255, (64, 64), np.uint8).astype(np.float64)
+    assert stats.ssim(a, a, data_range=255) == pytest.approx(1.0, abs=1e-7)
+    noisy = a + rng.normal(0, 25, a.shape)
+    s = stats.ssim(noisy, a, data_range=255)
+    assert 0 < s < 0.99
+
+
+def test_ssim_matches_reference_tolerance_contract():
+    """The reference consistency gate is 1-SSIM < 0.0003 for identical
+    pipelines; small perturbations must stay well below it."""
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 255, (128, 128, 3), np.uint8).astype(np.float64)
+    b = a.copy()
+    b[0, 0, 0] += 1  # one-pixel LSB difference
+    assert 1 - stats.ssim(b, a, data_range=255) < 0.0003
+
+
+def test_psnr_and_mse():
+    a = np.zeros((8, 8)); b = np.full((8, 8), 10.0)
+    assert stats.mse(a, b) == 100.0
+    assert stats.psnr(a, b) == pytest.approx(10 * np.log10(255 ** 2 / 100))
+
+
+def test_swd_self_is_small():
+    rng = np.random.default_rng(2)
+    imgs = [rng.integers(0, 255, (64, 64, 3), np.uint8) for _ in range(4)]
+    res_same = stats.swd(imgs, imgs, n_levels=2, n_descriptors=256, seed=3)
+    other = [rng.integers(100, 200, (64, 64, 3), np.uint8) for _ in range(4)]
+    res_diff = stats.swd(imgs, other, n_levels=2, n_descriptors=256, seed=3)
+    assert res_same['mean'] < res_diff['mean']
+
+
+def test_frechet_distance_zero_for_identical():
+    rng = np.random.default_rng(4)
+    f = rng.normal(size=(100, 16))
+    assert stats.frechet_distance(f, f) == pytest.approx(0.0, abs=1e-6)
+    g = f + 5.0
+    assert stats.frechet_distance(f, g) > 10
+
+
+def test_get_cell_count_metrics_on_sample(tmp_path):
+    import os
+    src = '/root/reference/Datasets/Sample_Dataset/val'
+    if not os.path.isdir(src):
+        pytest.skip('reference dataset absent')
+    import shutil
+    for f in ('Lung1.png', 'Bladder1.png'):
+        shutil.copy(os.path.join(src, f), tmp_path / f)
+    m = stats.get_cell_count_metrics(str(tmp_path), seg_thresh=150)
+    assert m['Lung1']['num_total'] == 60
+    assert m['Bladder1']['num_total'] == 183
+    assert (tmp_path / 'metrics.json').exists()
