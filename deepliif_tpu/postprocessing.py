@@ -111,8 +111,14 @@ def mark_background(mask):
 
 def _label_cells(mask):
     """8-connected components of non-background pixels, ordered by first
-    raster pixel (the reference scan-discovery order)."""
-    lab, n = ndimage.label(mask != LABEL_BACKGROUND, structure=_S8)
+    raster pixel (the reference scan-discovery order). Uses the native C
+    union-find when available, else scipy."""
+    from . import native
+    res = native.label8((mask != LABEL_BACKGROUND).astype(np.uint8))
+    if res is not None:
+        lab, n = res
+    else:
+        lab, n = ndimage.label(mask != LABEL_BACKGROUND, structure=_S8)
     if n == 0:
         return lab, np.array([], np.int64), np.array([], np.int64)
     flat = lab.ravel()
@@ -242,12 +248,21 @@ def calculate_default_marker_threshold(marker):
 _MOORE = [(-1, -1), (0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0)]
 
 
-def get_cell_boundary(mask, x, y):
+def get_cell_boundary(mask, x, y, _use_native=True):
     """Clockwise boundary contour + bbox, starting from the first raster
-    pixel of the cell. Exact port of the reference tracing order."""
+    pixel of the cell. Exact port of the reference tracing order; uses the
+    native C tracer when available."""
     h, w = mask.shape
     if not (0 <= y < h and 0 <= x < w) or mask[y, x] == LABEL_BACKGROUND:
         return None, None
+    if _use_native:
+        from . import native
+        res = native.moore_trace(mask, x, y)
+        if res is not None:
+            bbox, boundary = res
+            if len(boundary) == 1:
+                return [boundary[0], boundary[0]], boundary
+            return bbox, boundary
     neighbors = _MOORE * 2
 
     idx = 6

@@ -26,10 +26,24 @@ Image.MAX_IMAGE_PIXELS = None
 
 
 class WSIReader:
-    """Region reader over a slide file."""
+    """Region reader over a slide file.
+
+    Fast path: our tiled-TIFF reader (decodes only intersecting tiles,
+    bounded memory — the zarr-view equivalent). Fallback: PIL (whole image
+    decoded lazily; crop reads the needed scanlines for most formats)."""
 
     def __init__(self, path):
         self.path = path
+        self._tiled = None
+        self._img = None
+        if path.lower().endswith(('.tif', '.tiff')):
+            try:
+                from .tiff import TiledTiffReader
+                self._tiled = TiledTiffReader(path)
+                self.size = self._tiled.size
+                return
+            except Exception:
+                self._tiled = None
         self._img = Image.open(path)
         self.size = self._img.size  # (w, h)
 
@@ -38,11 +52,16 @@ class WSIReader:
         return {'size_x': w, 'size_y': h, 'pixel_type': 'uint8'}
 
     def read_region(self, x, y, w, h):
+        if self._tiled is not None:
+            return self._tiled.read_region(x, y, w, h)
         region = self._img.crop((x, y, x + w, y + h)).convert('RGB')
         return np.asarray(region)
 
     def close(self):
-        self._img.close()
+        if self._tiled is not None:
+            self._tiled.close()
+        if self._img is not None:
+            self._img.close()
 
 
 def get_wsi_resolution(path_or_mag, tile_size_base=512):

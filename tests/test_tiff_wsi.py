@@ -1,0 +1,104 @@
+"""Tiled BigTIFF writer/reader round-trip + WSI region streaming."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from deepliif_tpu.utils.tiff import TiledTiffReader, write_pyramid_tiff
+from deepliif_tpu.utils.wsi import WSIReader
+
+
+def test_pyramid_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    canvas = rng.integers(0, 255, (700, 900, 3), np.uint8)
+    path = str(tmp_path / 'test.ome.tiff')
+    write_pyramid_tiff(path, canvas)
+
+    r = TiledTiffReader(path)
+    assert len(r.pages) == 4  # full + /2 + /4 + /8
+    assert r.size == (900, 700)
+    full = r.read_region(0, 0, 900, 700)
+    np.testing.assert_array_equal(full, canvas)
+    # arbitrary region crossing tile boundaries
+    reg = r.read_region(200, 100, 300, 400)
+    np.testing.assert_array_equal(reg, canvas[100:500, 200:500])
+    # pyramid level 1 is the /2 decimation
+    lvl1 = r.read_region(0, 0, 450, 350, level=1)
+    np.testing.assert_array_equal(lvl1, canvas[::2, ::2][:350, :450])
+    r.close()
+
+
+def test_pil_can_open_our_tiff(tmp_path):
+    """Interop check: the BigTIFF we write is readable by PIL/libtiff."""
+    canvas = np.zeros((300, 300, 3), np.uint8)
+    canvas[50:100, 50:100] = (255, 0, 0)
+    path = str(tmp_path / 'interop.tiff')
+    write_pyramid_tiff(path, canvas, levels=(1,))
+    try:
+        img = Image.open(path)
+        arr = np.asarray(img.convert('RGB'))
+    except Exception:
+        pytest.skip('PIL lacks BigTIFF support in this build')
+    np.testing.assert_array_equal(arr, canvas)
+
+
+def test_wsi_reader_uses_tiled_fast_path(tmp_path):
+    rng = np.random.default_rng(1)
+    canvas = rng.integers(0, 255, (600, 800, 3), np.uint8)
+    path = str(tmp_path / 'slide.tiff')
+    write_pyramid_tiff(path, canvas)
+    r = WSIReader(path)
+    assert r._tiled is not None
+    info = r.get_information()
+    assert (info['size_x'], info['size_y']) == (800, 600)
+    np.testing.assert_array_equal(r.read_region(100, 50, 200, 150),
+                                  canvas[50:200, 100:300])
+    r.close()
+
+
+def test_test_wsi_command_end_to_end(tmp_path):
+    """Region-streamed WSI inference with a tiny model writes pyramid outputs
+    and a scoring json."""
+    import jax
+    from deepliif_tpu.models import deepliif as dl
+    from deepliif_tpu.utils import checkpoints
+    from deepliif_tpu.utils.wsi import infer_results_for_wsi
+
+    md = tmp_path / 'model'
+    md.mkdir()
+    d = dl.DeepLIIFDef(modalities_no=2, net_g=('resnet_6blocks',) * 2,
+                       net_gs=('unet_32',) * 3, ngf=8, ndf=8,
+                       seg_weights=(0.4, 0.3, 0.3))
+    params = dl.init_params(jax.random.PRNGKey(7), d, with_discriminators=False)
+    checkpoints.save_networks(str(md), params)
+    with open(md / 'config.json', 'w') as f:
+        json.dump({'model': 'DeepLIIF', 'modalities_no': 2, 'seg_gen': True,
+                   'seg_no': 1, 'input_no': 1, 'netG': 'resnet_6blocks',
+                   'net_gs': 'unet_32', 'ngf': 8, 'ndf': 8, 'norm': 'batch',
+                   'no_dropout': False, 'padding': 'zero',
+                   'upsample': 'convtranspose', 'scale_size': 64,
+                   'seg_weights': [0.4, 0.3, 0.3],
+                   'modalities_names': ['IHC', 'A', 'B'],
+                   'background_colors': [(201, 211, 208), (10, 10, 10)]}, f)
+
+    rng = np.random.default_rng(2)
+    slide = rng.integers(0, 255, (200, 260, 3), np.uint8)
+    wsi_dir = tmp_path / 'wsi'
+    wsi_dir.mkdir()
+    write_pyramid_tiff(str(wsi_dir / 'slide.tiff'), slide)
+
+    out = tmp_path / 'out'
+    scoring = infer_results_for_wsi(str(wsi_dir), 'slide.tiff', str(out),
+                                    str(md), tile_size=64, region_size=128)
+    assert {'num_total', 'num_pos', 'num_neg', 'percent_pos'} <= set(scoring)
+    files = os.listdir(out)
+    assert any(f.endswith('.ome.tiff') for f in files), files
+    assert 'slide.json' in files
+    # stitched canvases readable and full-size
+    seg_file = [f for f in files if 'Seg' in f and f.endswith('.ome.tiff')][0]
+    r = TiledTiffReader(str(out / seg_file))
+    assert r.size == (260, 200)
+    r.close()
