@@ -128,6 +128,19 @@ def train(**kwargs):
     d_params['phase'] = 'train'
     d_params['dataset_mode'] = ('unaligned' if model == 'CycleGAN' else 'aligned')
 
+    # infer per-modality background colors from empty training tiles
+    # (reference cli.py:326-331) — used by the inference empty-tile fill
+    if model in ('DeepLIIF', 'DeepLIIFKD', 'DeepLIIFExt'):
+        from .utils.background import infer_background_colors
+        train_dir = os.path.join(d_params['dataroot'], 'train')
+        if os.path.isdir(train_dir):
+            colors = infer_background_colors(
+                train_dir, input_no=d_params.get('input_no', 1),
+                modalities_no=m, seg_no=d_params.get('seg_no', 1),
+                return_list=True)
+            if colors is not None:
+                d_params['background_colors'] = colors
+
     opt = Options(d_params=d_params, mode='train')
     print_options(opt)
 

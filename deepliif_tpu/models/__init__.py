@@ -114,10 +114,19 @@ class InferenceSession:
         Empty tiles are detected host-side and filled with background colors
         (reference run_wrapper, models/__init__.py:399-461).
         """
+        from ..utils import luma_u8
         n = tiles_u8.shape[0]
         m = self.d.modalities_no
-        gray = tiles_u8.astype(np.float32).mean(axis=-1)
-        variance = gray.var(axis=(1, 2))
+        # empty-tile detection: luma variance excluding pure 0/255 pixels
+        # (reference image_variance_gray, util/__init__.py:479-487)
+        gray = luma_u8(tiles_u8).astype(np.float32)
+        valid = (gray != 0) & (gray != 255)
+        cnt = valid.sum(axis=(1, 2))
+        s = np.where(valid, gray, 0).sum(axis=(1, 2))
+        s2 = np.where(valid, gray * gray, 0).sum(axis=(1, 2))
+        with np.errstate(divide='ignore', invalid='ignore'):
+            mean = s / cnt
+            variance = np.where(cnt > 0, s2 / cnt - mean * mean, 0.0)
         nonempty = np.where(variance >= 9.0)[0]
 
         out = {}

@@ -1,0 +1,274 @@
+"""On-device connected-component labeling and cell counting (XLA + Pallas).
+
+The reference's quantification is sequential host-side Numba flood fill
+(reference postprocessing.py:193-308). For the TPU pipeline (BASELINE.json
+north star: "segmentation postprocessing moves on-device so a ROI never
+round-trips to host between stages"), this module reformulates it as
+data-parallel label propagation:
+
+  * every foreground pixel starts with its own label (flat raster index);
+  * iterate: label <- min(label over the 3x3 (or plus-shaped) neighborhood,
+    restricted to foreground), interleaved with pointer-jumping
+    (label <- label[label]) which contracts label chains logarithmically;
+  * convergence in O(log diameter) pointer-jump rounds.
+
+Resulting labels equal the minimum flat index of each component — a
+deterministic canonical labeling. Component statistics (sizes, pos/neg
+counts, marker max, centroids) are scatter-adds over the label image, and
+the final classification/counting is pure elementwise math — one jitted
+program from uint8 seg image to counts + overlay masks.
+
+The inner propagation sweep also has a Pallas TPU kernel (label_prop_pallas)
+that runs K sweeps per grid step entirely in VMEM, avoiding K HBM
+round-trips of the label image.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..postprocessing import (LABEL_BACKGROUND, LABEL_NEGATIVE,
+                              LABEL_POSITIVE, LABEL_UNKNOWN)
+
+INF = jnp.iinfo(jnp.int32).max
+
+
+def posneg_mask(seg, thresh):
+    """Device version of create_posneg_mask (ref :163-190)."""
+    seg = seg.astype(jnp.int32)
+    cond = (seg[..., 0] + seg[..., 2] > thresh) & (seg[..., 1] <= 80)
+    pos = seg[..., 0] >= seg[..., 2]
+    return jnp.where(cond & pos, LABEL_POSITIVE,
+                     jnp.where(cond, LABEL_NEGATIVE, LABEL_UNKNOWN)
+                     ).astype(jnp.uint8)
+
+
+def _neighbor_min(lab, fg, conn8=True):
+    """Min label over the (4- or 8-) neighborhood, foreground-masked."""
+    h, w = lab.shape
+    big = jnp.where(fg, lab, INF)
+    padded = jnp.pad(big, 1, constant_values=INF)
+    shifts = [(0, 1), (2, 1), (1, 0), (1, 2)]
+    if conn8:
+        shifts += [(0, 0), (0, 2), (2, 0), (2, 2)]
+    out = big
+    for dy, dx in shifts:
+        out = jnp.minimum(out, padded[dy:dy + h, dx:dx + w])
+    return jnp.where(fg, out, INF)
+
+
+def label_components(fg, conn8=True, max_iters=None):
+    """Connected components of a boolean image.
+
+    Returns int32 labels: background = INF sentinel replaced by 0, foreground
+    pixels share the min flat index of their component + 1.
+    """
+    h, w = fg.shape
+    idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    lab = jnp.where(fg, idx, INF)
+
+    def body(state):
+        lab, _ = state
+        new = _neighbor_min(lab, fg, conn8)
+        # pointer jumping: label <- label at the pixel the label points to
+        flat = new.reshape(-1)
+        jumped = jnp.where(flat == INF, INF,
+                           flat[jnp.clip(flat, 0, h * w - 1)])
+        new = jnp.minimum(new, jumped.reshape(h, w))
+        changed = jnp.any(new != lab)
+        return new, changed
+
+    def cond(state):
+        return state[1]
+
+    lab, _ = jax.lax.while_loop(cond, body, (lab, jnp.asarray(True)))
+    return jnp.where(fg, lab + 1, 0)
+
+
+def flood_background(mask):
+    """Device version of mark_background (ref :193-233): unknown pixels
+    4-connected to the border become background."""
+    h, w = mask.shape
+    unk = mask == LABEL_UNKNOWN
+    lab = label_components(unk, conn8=False)
+    border_labels = jnp.concatenate([lab[0], lab[-1], lab[:, 0], lab[:, -1]])
+    # scatter border labels into a flag table (labels are <= h*w)
+    flag = jnp.zeros(h * w + 2, bool).at[border_labels].set(True)
+    flag = flag.at[0].set(False)
+    is_bg = unk & flag[lab]
+    return jnp.where(is_bg, jnp.uint8(LABEL_BACKGROUND), mask)
+
+
+def quantify(seg_u8, marker_u8=None, seg_thresh=120, noise_thresh=4,
+             large_noise_thresh=16000, size_thresh=0, marker_thresh=None,
+             size_thresh_upper=None):
+    """Full on-device cell counting: uint8 seg (H,W,3) -> counts + masks.
+
+    Matches the host pipeline's counts (size gates are strict >,< like
+    ref :300 and :958). Returns dict with num_pos/num_neg/num_total and the
+    per-pixel class image (0 bg, 1 pos cell, 2 neg cell) for overlays.
+    """
+    h, w = seg_u8.shape[:2]
+    mask = posneg_mask(seg_u8, seg_thresh)
+    mask = flood_background(mask)
+    fg = mask != LABEL_BACKGROUND
+    lab = label_components(fg, conn8=True)  # 0 = background
+
+    n = h * w + 1
+    flat_lab = lab.reshape(-1)
+    ones = jnp.ones_like(flat_lab, jnp.int32)
+    sizes = jnp.zeros(n, jnp.int32).at[flat_lab].add(ones)
+    pos_cnt = jnp.zeros(n, jnp.int32).at[flat_lab].add(
+        (mask == LABEL_POSITIVE).reshape(-1).astype(jnp.int32))
+    neg_cnt = jnp.zeros(n, jnp.int32).at[flat_lab].add(
+        (mask == LABEL_NEGATIVE).reshape(-1).astype(jnp.int32))
+    if marker_u8 is not None:
+        mk = marker_u8.astype(jnp.int32).reshape(-1)
+        marker_max = jnp.zeros(n, jnp.int32).at[flat_lab].max(mk)
+    else:
+        marker_max = jnp.zeros(n, jnp.int32)
+
+    sizes = sizes.at[0].set(0)
+    keep = (sizes > noise_thresh)
+    if large_noise_thresh is not None:
+        keep &= (sizes < large_noise_thresh)
+    keep &= (sizes > size_thresh)
+    if size_thresh_upper is not None:
+        keep &= (sizes < size_thresh_upper)
+
+    is_pos = pos_cnt >= neg_cnt
+    if marker_thresh is not None:
+        is_pos = is_pos | (marker_max > marker_thresh)
+
+    num_pos = jnp.sum(keep & is_pos)
+    num_neg = jnp.sum(keep & ~is_pos)
+
+    cls = jnp.where(keep[lab] & fg,
+                    jnp.where(is_pos[lab], jnp.uint8(1), jnp.uint8(2)),
+                    jnp.uint8(0))
+    return {
+        'num_pos': num_pos,
+        'num_neg': num_neg,
+        'num_total': num_pos + num_neg,
+        'class_image': cls,
+        'labels': lab,
+        'sizes': sizes,
+    }
+
+
+def overlay_images(orig_u8, cls):
+    """Device version of boundary drawing + create_final_images: borders are
+    background pixels 4-adjacent to cells, dilated twice (8-conn)."""
+    h, w = cls.shape
+
+    def dilate(border_pos, border_neg, free):
+        pp = jnp.pad(border_pos, 1)
+        pn = jnp.pad(border_neg, 1)
+        np_, nn_ = border_pos, border_neg
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                if dy == 1 and dx == 1:
+                    continue
+                np_ = np_ | pp[dy:dy + h, dx:dx + w]
+                nn_ = nn_ | pn[dy:dy + h, dx:dx + w]
+        np_, nn_ = np_ & free, nn_ & free
+        # pos wins ties deterministically (host order-dependence differs at
+        # pixels adjacent to both classes; counts are unaffected)
+        nn_ = nn_ & ~np_
+        return border_pos | np_, border_neg | nn_
+
+    free = cls == 0
+    pos = cls == 1
+    neg = cls == 2
+    ppad = jnp.pad(pos, 1)
+    npad = jnp.pad(neg, 1)
+    bp = jnp.zeros_like(pos)
+    bn = jnp.zeros_like(neg)
+    for dy, dx in ((0, 1), (1, 0), (1, 2), (2, 1)):
+        bp = bp | ppad[dy:dy + h, dx:dx + w]
+        bn = bn | npad[dy:dy + h, dx:dx + w]
+    bp, bn = bp & free, bn & free & ~bp
+    free2 = free & ~bp & ~bn
+    bp, bn = dilate(bp, bn, free2)
+    free3 = free2 & ~bp & ~bn
+    bp, bn = dilate(bp, bn, free3)
+
+    overlay = orig_u8
+    overlay = jnp.where(bp[..., None],
+                        jnp.asarray([255, 0, 0], jnp.uint8), overlay)
+    overlay = jnp.where(bn[..., None],
+                        jnp.asarray([0, 0, 255], jnp.uint8), overlay)
+    refined = jnp.zeros_like(orig_u8)
+    refined = refined.at[..., 0].set(jnp.where(pos, 255, 0).astype(jnp.uint8))
+    refined = refined.at[..., 2].set(jnp.where(neg, 255, 0).astype(jnp.uint8))
+    refined = refined.at[..., 1].set(jnp.where(bp | bn, 255, 0).astype(jnp.uint8))
+    return overlay, refined
+
+
+# ---------------------------------------------------------------------------
+# Pallas propagation kernel: K min-propagation sweeps per call, in VMEM
+# ---------------------------------------------------------------------------
+
+def _prop_kernel(lab_ref, fg_ref, out_ref, *, sweeps):
+    lab = lab_ref[:]
+    fg = fg_ref[:] != 0
+    h, w = lab.shape
+
+    def one(lab):
+        big = jnp.where(fg, lab, INF)
+        out = big
+        # shift in 8 directions via slicing on a padded array
+        padded = jnp.pad(big, ((1, 1), (1, 1)), constant_values=INF)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                if dy == 1 and dx == 1:
+                    continue
+                out = jnp.minimum(out, jax.lax.dynamic_slice(
+                    padded, (dy, dx), (h, w)))
+        return jnp.where(fg, out, INF)
+
+    lab = jax.lax.fori_loop(0, sweeps, lambda _, l: one(l), lab)
+    out_ref[:] = lab
+
+
+def label_prop_pallas(lab, fg, sweeps=8, interpret=False):
+    """Run `sweeps` 8-connected min-propagation iterations in one Pallas
+    call (labels stay in VMEM between sweeps)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = functools.partial(_prop_kernel, sweeps=sweeps)
+    space = pl.ANY if interpret else pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(lab.shape, lab.dtype),
+        in_specs=[pl.BlockSpec(memory_space=space),
+                  pl.BlockSpec(memory_space=space)],
+        out_specs=pl.BlockSpec(memory_space=space),
+        interpret=interpret,
+    )(lab, fg.astype(jnp.int32))
+
+
+def label_components_pallas(fg, sweeps_per_call=8, max_rounds=64,
+                            interpret=False):
+    """label_components with the Pallas sweep kernel + host-side convergence
+    loop (pointer jumping between kernel calls)."""
+    h, w = fg.shape
+    idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    lab = jnp.where(fg, idx, INF)
+
+    def body(state):
+        lab, _ = state
+        new = label_prop_pallas(lab, fg, sweeps_per_call, interpret)
+        flat = new.reshape(-1)
+        jumped = jnp.where(flat == INF, INF, flat[jnp.clip(flat, 0, h * w - 1)])
+        new = jnp.minimum(new, jumped.reshape(h, w))
+        return new, jnp.any(new != lab)
+
+    lab, _ = jax.lax.while_loop(lambda s: s[1], body,
+                                (lab, jnp.asarray(True)))
+    return jnp.where(fg, lab + 1, 0)

@@ -25,10 +25,35 @@ def tensor_to_pil(arr):
 
 
 def image_variance_gray(img):
-    """Grayscale variance (reference util/__init__.py:485-497 semantics):
-    used by the empty-tile short-circuit (variance < 9 -> background)."""
-    a = np.asarray(img.convert('L') if hasattr(img, 'convert') else img, np.float32)
-    return float(a.var())
+    """Grayscale variance excluding pure 0/255 pixels (reference
+    util/__init__.py:479-487): the empty-tile short-circuit uses
+    variance < 9 -> background."""
+    if hasattr(img, 'convert'):
+        px = np.asarray(img if img.mode == 'L' else img.convert('L'))
+    else:
+        px = luma_u8(np.asarray(img))
+    val = px[(px != 255) & (px != 0)]
+    if val.size == 0:
+        return 0.0
+    return float(np.var(val))
+
+
+def luma_u8(rgb):
+    """ITU-R 601 luma with truncation — PIL 'L' conversion semantics."""
+    a = rgb.astype(np.uint32)
+    return ((a[..., 0] * 299 + a[..., 1] * 587 + a[..., 2] * 114) // 1000).astype(np.uint8)
+
+
+def image_variance_rgb(img):
+    """Per-channel variance excluding pure white/black pixels (reference
+    util/__init__.py:490-497)."""
+    px = np.asarray(img.convert('RGB') if hasattr(img, 'convert') else img)
+    nonwhite = np.any(px != [255, 255, 255], axis=-1)
+    nonblack = np.any(px != [0, 0, 0], axis=-1)
+    val = px[nonwhite & nonblack]
+    if val.shape[0] == 0:
+        return [0, 0, 0]
+    return np.var(val, axis=0)
 
 
 def image_to_input(img, scale_size=None):

@@ -1,0 +1,91 @@
+"""On-device quantification: counts must match the host (reference-parity)
+pipeline on random masks and the golden tiles."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from deepliif_tpu import postprocessing as pp
+from deepliif_tpu.ops import (flood_background, label_components,
+                              overlay_images, posneg_mask, quantify,
+                              label_components_pallas)
+
+
+def test_label_components_matches_scipy():
+    from scipy import ndimage
+    rng = np.random.default_rng(0)
+    fg = rng.random((80, 100)) < 0.35
+    lab = np.asarray(label_components(jnp.asarray(fg)))
+    lab_s, n_s = ndimage.label(fg, structure=np.ones((3, 3), bool))
+    assert len(np.unique(lab)) - 1 == n_s
+    nz = fg.ravel()
+    pairs = set(zip(lab.ravel()[nz].tolist(), lab_s.ravel()[nz].tolist()))
+    assert len(pairs) == n_s  # bijection
+
+
+def test_flood_background_matches_host():
+    seg = np.zeros((40, 40, 3), np.uint8)
+    seg[10:20, 10:20] = (200, 0, 0)
+    seg[15, 15] = (0, 100, 0)  # hole -> unknown enclosed
+    host = pp.create_posneg_mask(seg, 120)
+    pp.mark_background(host)
+    dev = np.asarray(flood_background(posneg_mask(jnp.asarray(seg), 120)))
+    np.testing.assert_array_equal(dev, host)
+
+
+@pytest.mark.parametrize('seed', [0, 1])
+def test_quantify_counts_match_host(seed):
+    rng = np.random.default_rng(seed)
+    seg = np.zeros((96, 96, 3), np.uint8)
+    # scatter random blobs
+    for _ in range(12):
+        y, x = rng.integers(5, 85, 2)
+        r = rng.integers(2, 7)
+        color = (200, 0, 0) if rng.random() < 0.5 else (0, 0, 200)
+        seg[max(0, y - r):y + r, max(0, x - r):x + r] = color
+    dev = jax.jit(lambda s: quantify(s, seg_thresh=120, noise_thresh=4,
+                                     large_noise_thresh=16000))(jnp.asarray(seg))
+    # counts from the host pipeline
+    _, _, scoring = pp.compute_final_results(
+        np.zeros_like(seg), seg, None, '40x', size_thresh=0, seg_thresh=120)
+    assert int(dev['num_total']) == scoring['num_total']
+    assert int(dev['num_pos']) == scoring['num_pos']
+    assert int(dev['num_neg']) == scoring['num_neg']
+
+
+def test_quantify_golden_tile_counts():
+    import os
+    src = '/root/reference/Datasets/Sample_Dataset/val'
+    if not os.path.isdir(src):
+        pytest.skip('reference dataset absent')
+    img = Image.open(os.path.join(src, 'Lung1.png'))
+    w, h = img.size
+    gt = np.asarray(img.crop((w - h, 0, w, h)).convert('RGB'))
+    # size_thresh=78 = the golden default for this tile
+    dev = quantify(jnp.asarray(gt), seg_thresh=150, size_thresh=78)
+    assert int(dev['num_total']) == 60
+    assert int(dev['num_pos']) == 11
+    assert int(dev['num_neg']) == 49
+
+
+def test_overlay_images_shapes():
+    seg = np.zeros((32, 32, 3), np.uint8)
+    seg[5:12, 5:12] = (200, 0, 0)
+    dev = quantify(jnp.asarray(seg), seg_thresh=120, size_thresh=0)
+    overlay, refined = overlay_images(jnp.zeros((32, 32, 3), jnp.uint8),
+                                      dev['class_image'])
+    overlay, refined = np.asarray(overlay), np.asarray(refined)
+    assert (refined[..., 0] > 0).any()      # positive fill
+    assert (refined[..., 1] > 0).any()      # boundary
+    assert (overlay == [255, 0, 0]).all(-1).any()  # red outline
+
+
+def test_pallas_labeling_interpret_matches():
+    rng = np.random.default_rng(3)
+    fg = rng.random((32, 64)) < 0.3
+    ref = np.asarray(label_components(jnp.asarray(fg)))
+    pal = np.asarray(label_components_pallas(jnp.asarray(fg), interpret=True))
+    np.testing.assert_array_equal(ref, pal)
