@@ -101,6 +101,9 @@ def cli():
 @click.option('--max-dataset-size', default=None, type=int)
 @click.option('--precision', default='float32', type=click.Choice(['float32', 'bfloat16']))
 @click.option('--remote', default=False, type=bool, help='pickle plot snapshots for `visualize`')
+@click.option('--model-dir-teacher', default=None,
+              help='teacher model dir (required for DeepLIIFKD)')
+@click.option('--pool-size', default=50, type=int, help='CycleGAN image pool size')
 def train(**kwargs):
     """Train a model (single chip or data-parallel over all local devices)."""
     d_params = dict(TRAIN_DEFAULTS)
@@ -279,6 +282,57 @@ def test(input_dir, output_dir, tile_size, model_dir, filename_pattern,
                     json.dump(scoring, f, indent=2)
 
 
+@cli.command(name='eval')
+@click.option('--dataroot', required=True,
+              help='dataset root containing the phase subfolder of aligned rows')
+@click.option('--model-dir', required=True)
+@click.option('--phase', default='test')
+@click.option('--output-dir', default=None, help='default: <model-dir>/eval_<phase>')
+@click.option('--num-test', default=50, type=int, help='how many rows to process')
+@click.option('--seg-weights', default='', help='comma-separated; default: training weights')
+def eval_dataset(dataroot, model_dir, phase, output_dir, num_test, seg_weights):
+    """Dataset-driven eval over aligned rows (the reference's legacy
+    `python test.py`, test.py:40-129): runs the generator ensemble on the A
+    tile of each row and writes real_A / fake_B_* images + an HTML gallery.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+    from .config import get_opt
+    from .data.aligned import AlignedDataset
+    from .models import init_nets
+    from .utils.visualizer import save_images
+
+    opt = get_opt(model_dir, mode='test')
+    opt.dataroot = dataroot
+    opt.preprocess = 'none'
+    opt.no_flip = True
+    session = init_nets(model_dir)
+    output_dir = output_dir or os.path.join(model_dir, f'eval_{phase}')
+    ensure_exists(output_dir)
+
+    ds = AlignedDataset(opt, phase=phase)
+    n = min(num_test, len(ds))
+    for i in range(n):
+        item = ds[i]
+        a_u8 = ((item['A'] + 1) * 127.5).astype(np.uint8)[None]
+        res = session.run_tiles(a_u8)
+        visuals = {'real_A': a_u8[0]}
+        for k, v in res.items():
+            name = ('fake_B_5' if k == 'GS'
+                    else f"fake_B_{k[1:]}")
+            visuals[name] = v[0]
+        save_images(output_dir, visuals, item['A_paths'])
+        click.echo(f'processed {os.path.basename(item["A_paths"])}')
+    # simple gallery
+    files = sorted(os.listdir(output_dir))
+    rows = ''.join(f'<div style="display:inline-block;margin:4px;'
+                   f'text-align:center"><img src="{f}" width="200"/>'
+                   f'<br/>{f}</div>' for f in files if f.endswith('.png'))
+    with open(os.path.join(output_dir, 'index.html'), 'w') as f:
+        f.write(f'<html><body><h1>eval {phase}</h1>{rows}</body></html>')
+    click.echo(f'wrote {n} results to {output_dir}')
+
+
 @cli.command(name='test-wsi')
 @click.option('--input-dir', required=True)
 @click.option('--filename', required=True)
@@ -350,6 +404,66 @@ def prepare_testing_data(input_dir, dataset_dir):
             os.path.join(test_dir, img))
         n += 1
     click.echo(f'wrote {n} test rows')
+
+
+@cli.command(name='compute-statistics')
+@click.option('--gt-dir', required=True, help='ground-truth images')
+@click.option('--model-output-dir', required=True, help='inferred images')
+@click.option('--model-name', default='DeepLIIF-TPU')
+@click.option('--image-size', default=512, type=int)
+@click.option('--output-csv', default=None, help='default: <model-output-dir>/statistics.csv')
+@click.option('--with-swd', is_flag=True, help='also compute sliced Wasserstein distance')
+@click.option('--with-aji', is_flag=True, help='also compute Aggregated Jaccard Index')
+def compute_statistics(gt_dir, model_output_dir, model_name, image_size,
+                       output_csv, with_swd, with_aji):
+    """Evaluation harness (reference DeepLIIF_Statistics/ComputeStatistics.py:
+    36-236): per-modality MSE/SSIM and per-class segmentation metrics over a
+    directory of inferred images vs ground truth, written as CSV."""
+    import csv
+    import numpy as np
+    from PIL import Image
+    from . import stats
+
+    output_csv = output_csv or os.path.join(model_output_dir, 'statistics.csv')
+    rows = []
+    seg_imgs, gt_seg_imgs = [], []
+    for fn in sorted(os.listdir(model_output_dir)):
+        if not fn.endswith('.png'):
+            continue
+        gt_path = os.path.join(gt_dir, fn)
+        if not os.path.exists(gt_path):
+            continue
+        pred = np.asarray(Image.open(os.path.join(model_output_dir, fn))
+                          .convert('RGB').resize((image_size, image_size)))
+        gt = np.asarray(Image.open(gt_path).convert('RGB')
+                        .resize((image_size, image_size)))
+        row = {'Model': model_name, 'image_name': fn,
+               'MSE': stats.mse(pred, gt),
+               'SSIM': stats.ssim(pred, gt, data_range=255),
+               'PSNR': stats.psnr(pred, gt)}
+        if 'Seg' in fn:
+            seg = stats.segmentation_metrics_posneg(pred, gt, include_aji=with_aji)
+            for cls, m in seg.items():
+                for k, v in m.items():
+                    row[f'{cls}_{k}'] = round(v, 3)
+            seg_imgs.append(pred)
+            gt_seg_imgs.append(gt)
+        rows.append(row)
+
+    if with_swd and seg_imgs:
+        swd_res = stats.swd(seg_imgs, gt_seg_imgs)
+        click.echo(f'SWD (seg vs gt): {swd_res}')
+
+    if not rows:
+        click.echo('no matching image pairs found')
+        return
+    keys = sorted({k for r in rows for k in r}, key=lambda k: (k != 'Model', k))
+    with open(output_csv, 'w', newline='') as f:
+        writer = csv.DictWriter(f, fieldnames=keys)
+        writer.writeheader()
+        writer.writerows(rows)
+    mean_ssim = float(np.mean([r['SSIM'] for r in rows]))
+    click.echo(f'{len(rows)} pairs -> {output_csv} (mean SSIM {mean_ssim:.4f})')
 
 
 @cli.command()

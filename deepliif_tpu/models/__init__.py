@@ -130,16 +130,16 @@ class InferenceSession:
         nonempty = np.where(variance >= 9.0)[0]
 
         out = {}
-        size = tiles_u8.shape[1]
+        th, tw = tiles_u8.shape[1:3]
         bg = getattr(self.opt, 'background_colors',
                      [(10, 10, 10)] * m) or [(10, 10, 10)] * m
         for i in range(m):
             color = tuple(bg[i]) if i < len(bg) else (10, 10, 10)
             out[f'G{i+1}'] = np.tile(
                 np.asarray(color, np.uint8)[None, None, None, :],
-                (n, size, size, 1))
+                (n, th, tw, 1))
         if self.d.seg_gen and not mod_only:
-            out['GS'] = np.zeros((n, size, size, 3), np.uint8)
+            out['GS'] = np.zeros((n, th, tw, 3), np.uint8)
 
         if len(nonempty) == 0:
             return out

@@ -42,16 +42,15 @@ def check_weights(model, modalities_no, seg_weights, loss_g_weights,
 
 
 def _batch_to_device(batch, d, mesh=None):
-    out = {'A': jnp.asarray(batch['A'])}
-    out['B_mods'] = jnp.asarray(batch['B_mods'])
-    if 'B_seg' in batch:
-        out['B_seg'] = jnp.asarray(batch['B_seg'])
+    out = {k: jnp.asarray(v) for k, v in batch.items()
+           if not k.endswith('_paths')}
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         sh = {
             'A': NamedSharding(mesh, P('data')),
             'B_mods': NamedSharding(mesh, P(None, 'data')),
             'B_seg': NamedSharding(mesh, P('data')),
+            'B_segs': NamedSharding(mesh, P(None, 'data')),
         }
         out = {k: jax.device_put(v, sh[k]) for k, v in out.items()}
     return out
@@ -83,10 +82,28 @@ def _cell_count_rmse(model_outputs, gt_metrics, tile_size, model):
 
 
 def train_model(opt):
-    """Run the full training; returns the final TrainState."""
-    d = dl.def_from_opt(opt)
-    check_weights(opt.model, d.modalities_no, list(d.seg_weights),
-                  list(d.loss_g_weights), list(d.loss_d_weights))
+    """Run the full training; returns the final TrainState.
+
+    Dispatches by model family: DeepLIIF/DeepLIIFKD/DeepLIIFExt/SDG share
+    the fused G+D step; CycleGAN routes to its two-step pool-based loop."""
+    model = getattr(opt, 'model', 'DeepLIIF')
+    if model == 'CycleGAN':
+        return _train_cyclegan(opt)
+
+    if model == 'DeepLIIFExt':
+        from . import models as _m
+        from .models import deepliif_ext as ext
+        d = ext.def_from_opt(opt)
+        check_weights('DeepLIIFExt', d.modalities_no, [1 / d.modalities_no] *
+                      d.modalities_no, list(d.loss_g_weights),
+                      list(d.loss_d_weights))
+    elif model == 'SDG':
+        from .models import sdg as sdg_m
+        d = sdg_m.def_from_opt(opt)
+    else:
+        d = dl.def_from_opt(opt)
+        check_weights(opt.model, d.modalities_no, list(d.seg_weights),
+                      list(d.loss_g_weights), list(d.loss_d_weights))
 
     dataset = create_dataset(opt, phase='train')
     steps_per_epoch = max(1, len(dataset) // max(1, opt.batch_size))
@@ -95,8 +112,20 @@ def train_model(opt):
     save_options(opt)
 
     key = jax.random.PRNGKey(getattr(opt, 'seed', None) or 0)
-    state, g_tx, d_tx = dl.create_train_state(key, d, opt, steps_per_epoch)
     vgg_params = vgg.init()
+    teacher = None
+    if model == 'DeepLIIFExt':
+        from .models import deepliif_ext as ext
+        state, g_tx, d_tx = ext.create_train_state(key, d, opt, steps_per_epoch)
+    elif model == 'SDG':
+        from .models import sdg as sdg_m
+        state, g_tx, d_tx = sdg_m.create_train_state(key, d, opt, steps_per_epoch)
+    elif model == 'DeepLIIFKD':
+        from .models import deepliif_kd as kd
+        teacher = kd.load_teacher(opt.model_dir_teacher)
+        state, g_tx, d_tx = kd.create_train_state(key, d, opt, steps_per_epoch)
+    else:
+        state, g_tx, d_tx = dl.create_train_state(key, d, opt, steps_per_epoch)
 
     save_dir = os.path.join(opt.checkpoints_dir, opt.name)
     epoch_base = 0
@@ -113,6 +142,20 @@ def train_model(opt):
         except FileNotFoundError as e:
             raise FileNotFoundError(f'--continue-train set but checkpoint missing: {e}')
 
+    # build the un-jitted step body per model family
+    if model == 'DeepLIIFExt':
+        from .models import deepliif_ext as ext
+        step_body = ext.make_train_step_body(d, g_tx, d_tx)
+    elif model == 'SDG':
+        from .models import sdg as sdg_m
+        step_body = sdg_m.make_train_step_body(d, g_tx, d_tx, vgg_params)
+    elif model == 'DeepLIIFKD':
+        from .models import deepliif_kd as kd
+        step_body = kd.make_train_step_body(d, g_tx, d_tx, vgg_params,
+                                            teacher[0], teacher[1])
+    else:
+        step_body = dl.make_train_step_body(d, g_tx, d_tx, vgg_params)
+
     devices = jax.devices()
     batch = getattr(opt, 'batch_size', 1)
     use_mesh = len(devices) > 1 and batch % len(devices) == 0
@@ -124,16 +167,18 @@ def train_model(opt):
         repl = parallel.replicated(mesh)
         data_sh = {'A': NamedSharding(mesh, P('data')),
                    'B_mods': NamedSharding(mesh, P(None, 'data')),
-                   'B_seg': NamedSharding(mesh, P('data'))}
-        step_fn = jax.jit(dl.make_train_step_body(d, g_tx, d_tx, vgg_params),
-                          in_shardings=(repl, data_sh, repl),
+                   'B_seg': NamedSharding(mesh, P('data')),
+                   'B_segs': NamedSharding(mesh, P(None, 'data'))}
+        step_fn = jax.jit(step_body, in_shardings=(repl, data_sh, repl),
                           donate_argnums=(0,))
         print(f'data-parallel over {len(devices)} devices')
     else:
         mesh = None
-        step_fn = dl.make_train_step(d, g_tx, d_tx, vgg_params)
+        step_fn = jax.jit(step_body, donate_argnums=(0,))
 
-    eval_fn = dl.make_eval_losses(d, vgg_params) if getattr(opt, 'with_val', False) else None
+    eval_fn = (dl.make_eval_losses(d, vgg_params)
+               if getattr(opt, 'with_val', False)
+               and model in ('DeepLIIF', 'DeepLIIFKD') else None)
 
     visualizer = Visualizer(opt)
     rng = jax.random.PRNGKey((getattr(opt, 'seed', None) or 0) + 1)
@@ -175,12 +220,16 @@ def train_model(opt):
                     epoch, epoch_iter / max(1, len(dataset)), m)
 
             if total_iters % display_freq == 0:
-                vis = {'real_A': np.asarray(data['A'][0])}
+                vis = {'real_A': np.asarray(data['A'][0][..., :3])}
                 mods = np.asarray(g_out['mods'])
                 for i in range(mods.shape[0]):
                     vis[f'fake_B_{i+1}'] = mods[i][0]
                 if 'seg' in g_out:
                     vis['fake_B_S'] = np.asarray(g_out['seg'])[0]
+                if 'segs' in g_out:
+                    segs = np.asarray(g_out['segs'])
+                    for i in range(segs.shape[0]):
+                        vis[f'fake_BS_{i+1}'] = segs[i][0]
                 visualizer.display_current_results(vis, epoch, True)
 
             if total_iters % save_latest_freq == 0:
@@ -200,6 +249,69 @@ def train_model(opt):
 
     _save_state(save_dir, state, 'latest')
     visualizer.plot_to_png()
+    return state, metrics
+
+
+def _train_cyclegan(opt):
+    """CycleGAN loop: jitted G step -> host image-pool query -> jitted D step
+    (reference optimize_parameters order, CycleGAN_model.py:269-283)."""
+    from .models import cyclegan as cg
+
+    d = cg.def_from_opt(opt)
+    dataset = create_dataset(opt, phase='train')
+    steps_per_epoch = max(1, len(dataset) // max(1, opt.batch_size))
+    print(f'The number of training images = {len(dataset)}')
+    save_options(opt)
+
+    key = jax.random.PRNGKey(getattr(opt, 'seed', None) or 0)
+    state, g_tx, d_tx = cg.create_train_state(key, d, opt, steps_per_epoch)
+    vgg_params = vgg.init()
+    g_step, d_step = cg.make_train_steps(d, g_tx, d_tx, vgg_params)
+
+    pool_size = getattr(opt, 'pool_size', 50)
+    seed = getattr(opt, 'seed', None) or 0
+    pools_a = [cg.ImagePool(pool_size, seed + i) for i in range(d.modalities_no)]
+    pools_b = [cg.ImagePool(pool_size, seed + 100 + i) for i in range(d.modalities_no)]
+
+    visualizer = Visualizer(opt)
+    rng = jax.random.PRNGKey(seed + 1)
+    save_dir = os.path.join(opt.checkpoints_dir, opt.name)
+    total_iters = 0
+    print_freq = getattr(opt, 'print_freq', 100)
+    save_epoch_freq = getattr(opt, 'save_epoch_freq', 100)
+    n_total = getattr(opt, 'n_epochs', 100) + getattr(opt, 'n_epochs_decay', 100)
+    metrics = {}
+
+    for epoch in range(getattr(opt, 'epoch_count', 1), n_total + 1):
+        epoch_start = time.time()
+        dataset.set_epoch(epoch)
+        for data in dataset:
+            iter_start = time.time()
+            total_iters += opt.batch_size
+            rng, step_rng = jax.random.split(rng)
+            real_as = jnp.broadcast_to(
+                jnp.asarray(data['A'])[None],
+                (d.modalities_no,) + data['A'].shape)
+            real_bs = jnp.asarray(data['B_mods'])[:d.modalities_no]
+            state, gm, outs = g_step(state, real_as, real_bs, step_rng)
+            fb = jnp.stack([jnp.asarray(pools_b[i].query(np.asarray(outs['fake_bs'][i])))
+                            for i in range(d.modalities_no)])
+            fa = jnp.stack([jnp.asarray(pools_a[i].query(np.asarray(outs['fake_as'][i])))
+                            for i in range(d.modalities_no)])
+            state, dm = d_step(state, fb, fa, real_as, real_bs)
+            metrics = {**gm, **dm}
+            if total_iters % print_freq == 0:
+                m = {k: float(np.mean(v)) for k, v in metrics.items()}
+                visualizer.print_current_losses(
+                    epoch, total_iters, m, (time.time() - iter_start), 0.0)
+                visualizer.plot_current_losses(
+                    epoch, total_iters / max(1, len(dataset)), m)
+        if epoch % save_epoch_freq == 0:
+            _save_state(save_dir, state, 'latest')
+            _save_state(save_dir, state, str(epoch))
+        print(f'End of epoch {epoch} / {n_total} \t '
+              f'Time Taken: {time.time() - epoch_start:.0f} sec')
+    _save_state(save_dir, state, 'latest')
     return state, metrics
 
 

@@ -68,4 +68,30 @@ def load_networks(save_dir, like_params, epoch='latest'):
 
 
 def has_native_checkpoint(model_dir, epoch='latest'):
-    return os.path.exists(os.path.join(model_dir, f'{epoch}_net_G.npz'))
+    return (os.path.exists(os.path.join(model_dir, f'{epoch}_net_G.npz'))
+            or os.path.exists(os.path.join(model_dir, f'{epoch}_net_GA.npz')))
+
+
+# ---------------------------------------------------------------------------
+# orbax backend (optional; same directory layout, 'orbax' subdirs)
+# ---------------------------------------------------------------------------
+
+def save_networks_orbax(save_dir, params, epoch='latest'):
+    """Checkpoint via orbax (atomic, async-capable). Layout:
+    <save_dir>/orbax/<epoch>/<net-name>."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(save_dir, 'orbax', str(epoch)))
+    ckptr = ocp.StandardCheckpointer()
+    for name, tree in params.items():
+        ckptr.save(os.path.join(path, name), tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_networks_orbax(save_dir, like_params, epoch='latest'):
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(save_dir, 'orbax', str(epoch)))
+    ckptr = ocp.StandardCheckpointer()
+    out = {}
+    for name, like in like_params.items():
+        out[name] = ckptr.restore(os.path.join(path, name), like)
+    return out

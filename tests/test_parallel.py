@@ -1,0 +1,94 @@
+"""Multi-device sharding: batch-sharded inference and data-parallel training
+on the 8-virtual-device CPU mesh (replaces the reference's GPU-count skips)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepliif_tpu import parallel
+from deepliif_tpu.models import deepliif as dl
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason='needs 8 virtual devices')
+
+TINY = dl.DeepLIIFDef(
+    modalities_no=2, net_g=('resnet_6blocks',) * 2, net_gs=('unet_32',) * 3,
+    ngf=8, ndf=8, seg_weights=(0.4, 0.3, 0.3),
+    loss_g_weights=(1 / 3,) * 3, loss_d_weights=(1 / 3,) * 3)
+
+
+def test_sharded_inference_matches_single_device():
+    params = dl.init_params(jax.random.PRNGKey(0), TINY,
+                            with_discriminators=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 64, 64, 3))
+
+    ref_mods, ref_seg = jax.jit(
+        lambda p, x: dl.generator_forward(p, x, TINY))(params, x)
+
+    mesh = parallel.get_mesh(8)
+    fwd = parallel.make_sharded_forward(
+        lambda p, x: dl.generator_forward(p, x, TINY), mesh)
+    p_repl = parallel.replicate(mesh, params)
+    x_sh = parallel.shard_batch(mesh, x)
+    mods, seg = fwd(p_repl, x_sh)
+
+    np.testing.assert_allclose(np.asarray(mods), np.asarray(ref_mods),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(seg), np.asarray(ref_seg),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_data_parallel_grads_equal_single_device():
+    """One data-parallel step over 8 devices == one single-device step on the
+    same global batch (the DP/DDP replacement correctness contract)."""
+    from deepliif_tpu.config import Options, TRAIN_DEFAULTS
+    from deepliif_tpu.nets import vgg
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    opt = Options(d_params=dict(TRAIN_DEFAULTS))
+    vgg_params = vgg.init(jax.random.PRNGKey(9))
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    batch = {
+        'A': jax.random.normal(ks[0], (8, 64, 64, 3)),
+        'B_mods': jax.random.normal(ks[1], (2, 8, 64, 64, 3)),
+        'B_seg': jax.random.normal(ks[2], (8, 64, 64, 3)),
+    }
+    rng = jax.random.PRNGKey(2)
+
+    # single device
+    state1, g_tx, d_tx = dl.create_train_state(jax.random.PRNGKey(0), TINY, opt)
+    step1 = jax.jit(dl.make_train_step_body(TINY, g_tx, d_tx, vgg_params))
+    state1, m1, _ = step1(state1, batch, rng)
+
+    # 8-device mesh
+    mesh = parallel.get_mesh(8)
+    state2, g_tx2, d_tx2 = dl.create_train_state(jax.random.PRNGKey(0), TINY, opt)
+    state2 = parallel.replicate(mesh, state2)
+    repl = parallel.replicated(mesh)
+    data_sh = {'A': NamedSharding(mesh, P('data')),
+               'B_mods': NamedSharding(mesh, P(None, 'data')),
+               'B_seg': NamedSharding(mesh, P('data'))}
+    batch_sh = {k: jax.device_put(v, data_sh[k]) for k, v in batch.items()}
+    step2 = jax.jit(dl.make_train_step_body(TINY, g_tx2, d_tx2, vgg_params),
+                    in_shardings=(repl, data_sh, repl))
+    state2, m2, _ = step2(state2, batch_sh, jax.device_put(rng, repl))
+
+    # losses and updated params must agree. NOTE: batch-stat norms see
+    # global-batch statistics in both cases because XLA computes the mean
+    # over the sharded axis with collectives.
+    np.testing.assert_allclose(float(m1['loss_G']), float(m2['loss_G']),
+                               rtol=2e-3)
+    np.testing.assert_allclose(float(m1['loss_D']), float(m2['loss_D']),
+                               rtol=2e-3)
+    w1 = np.asarray(state1.g_params['G']['head_conv']['w'])
+    w2 = np.asarray(state2.g_params['G']['head_conv']['w'])
+    # Adam's first update is ~±lr*sign(grad); cross-device f32 reduction
+    # order can flip the sign where grad ~ 0, so tolerate a few 2*lr
+    # deviations while requiring the bulk of the update to agree.
+    diff = np.abs(w1 - w2)
+    assert np.median(diff) < 1e-6
+    assert diff.max() <= 2 * 2e-4 + 1e-6
+    frac_large = float((diff > 1e-5).mean())
+    assert frac_large < 0.05, frac_large
