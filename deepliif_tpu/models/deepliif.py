@@ -169,7 +169,16 @@ def init_params(key, d: DeepLIIFDef, with_discriminators=True):
         p['D'] = L.tree_stack([dnet.init(k) for k in L.split_keys(keys[2], m)])
         if d.seg_gen:
             p['DS'] = L.tree_stack([dnet.init(k) for k in L.split_keys(keys[3], m + 1)])
+    if d.norm == 'spectral':
+        p = L.add_spectral_u(p, jax.random.fold_in(key, 7))
     return p
+
+
+def _maybe_spectral(params, d: 'DeepLIIFDef'):
+    """Apply spectral normalization to conv kernels when norm='spectral'."""
+    if d.norm != 'spectral':
+        return params
+    return L.spectral_normalize_tree(params)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -187,6 +196,7 @@ def generator_forward(params, x, d: DeepLIIFDef, *, train=False, rng=None,
     m = d.modalities_no
     w = jnp.asarray(d.seg_weights if seg_weights is None else seg_weights,
                     jnp.float32)
+    params = _maybe_spectral(params, d)
 
     if train and rng is not None:
         g_rngs = jax.random.split(rng, 2)
@@ -250,6 +260,7 @@ def inference_forward(params, x, d: DeepLIIFDef, seg_weights=None,
 
 def _d_pred_mods(d_params, x, imgs, d: DeepLIIFDef):
     """Vmapped modality discriminators on concat(x, img_i)."""
+    d_params = _maybe_spectral({'D': d_params}, d)['D']
     dnet = _d_net(d)
     cond = jnp.concatenate([
         jnp.broadcast_to(x[None], (d.modalities_no,) + x.shape), imgs], axis=-1)
@@ -260,6 +271,7 @@ def _d_pred_seg(ds_params, x, real_mods, seg, d: DeepLIIFDef):
     """Seg discriminators: D_0 conditioned on x, D_i on real modality i; the
     prediction used in the loss is the seg-weighted sum of the per-branch
     patch maps (DeepLIIF_model.py:249-262)."""
+    ds_params = _maybe_spectral({'DS': ds_params}, d)['DS']
     dnet = _d_net(d)
     conds = jnp.concatenate([x[None], real_mods], axis=0)  # (M+1,B,H,W,C)
     seg_b = jnp.broadcast_to(seg[None], conds.shape)

@@ -219,6 +219,86 @@ def spectral_normalize(w, u, n_iter=1, eps=1e-12):
     return w / sigma, u
 
 
+def add_spectral_u(params, key):
+    """Add power-iteration vectors 'u' next to every conv kernel 'w' in a
+    (possibly stacked) param tree."""
+    leaves = []
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if 'w' in node and hasattr(node['w'], 'ndim') and node['w'].ndim >= 4:
+                leaves.append((node, node['w'].shape))
+            for k, v in node.items():
+                walk(v, path + (k,))
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(v, path + (i,))
+
+    walk(params, ())
+    keys = split_keys(key, max(1, len(leaves)))
+    for (node, shape), k in zip(leaves, keys):
+        rows = shape[:-1]
+        if len(shape) == 5:  # stacked (N,kh,kw,i,o)
+            n = shape[0]
+            m = shape[1] * shape[2] * shape[3]
+            node['u'] = jax.random.normal(k, (n, m), jnp.float32)
+        else:
+            m = shape[0] * shape[1] * shape[2]
+            node['u'] = jax.random.normal(k, (m,), jnp.float32)
+    return params
+
+
+def _sn_single(w, u, n_iter):
+    mat = w.reshape(-1, w.shape[-1]).astype(jnp.float32)
+    v = None
+    for _ in range(n_iter):
+        v = mat.T @ u
+        v = v / (jnp.linalg.norm(v) + 1e-12)
+        u = mat @ v
+        u = u / (jnp.linalg.norm(u) + 1e-12)
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
+    sigma = u @ (mat @ v)
+    return (w / sigma.astype(w.dtype)), u
+
+
+def spectral_normalize_tree(params, n_iter=3):
+    """Spectral-normalize every conv kernel that has a 'u' vector (torch
+    parametrizations.spectral_norm equivalent; reference networks.py:757-765
+    when norm='spectral'). Power iteration runs from the stored u with
+    stop-gradient, so gradients flow only through W. Returns (normalized
+    params, params with refreshed u)."""
+
+    def norm_node(node):
+        if isinstance(node, dict):
+            out = {}
+            fresh = {}
+            if 'w' in node and 'u' in node:
+                w, u = node['w'], node['u']
+                if w.ndim == 5:
+                    wn, un = jax.vmap(lambda wi, ui: _sn_single(wi, ui, n_iter))(w, u)
+                else:
+                    wn, un = _sn_single(w, u, n_iter)
+                out['w'] = wn
+                fresh['u'] = un
+                for k, v in node.items():
+                    if k not in ('w', 'u'):
+                        out[k] = v
+                return out, {**node, **fresh, 'w': node['w']}
+            normed, refreshed = {}, {}
+            for k, v in node.items():
+                nv, rv = norm_node(v)
+                normed[k] = nv
+                refreshed[k] = rv
+            return normed, refreshed
+        if isinstance(node, (list, tuple)):
+            pairs = [norm_node(v) for v in node]
+            return type(node)(p[0] for p in pairs), type(node)(p[1] for p in pairs)
+        return node, node
+
+    return norm_node(params)
+
+
 def tree_stack(trees):
     """Stack a list of identical pytrees along a new leading axis."""
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)

@@ -88,6 +88,11 @@ def make_handler(model_dir):
     from ..models import infer_modalities, init_nets, find_marker_key
 
     session_lock = threading.Lock()
+    # async batch tasks for the ImageJ plugin contract:
+    # POST /api/batch/infer -> {'task_id'}; GET /api/batch/infer/<id> ->
+    # {'state': PENDING|SUCCESS|FAILURE, 'result': ...}
+    tasks = {}
+    tasks_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
@@ -102,10 +107,20 @@ def make_handler(model_dir):
             self.wfile.write(body)
 
         def do_GET(self):
-            if urlparse(self.path).path in ('/healthz', '/'):
+            path = urlparse(self.path).path
+            if path in ('/healthz', '/'):
                 self._json(200, {'status': 'ok', 'model_dir': model_dir})
-            else:
-                self._json(404, {'error': 'not found'})
+                return
+            m = re.match(r'^/api/batch/infer/([\w-]+)$', path)
+            if m:
+                with tasks_lock:
+                    task = tasks.get(m.group(1))
+                if task is None:
+                    self._json(404, {'error': 'unknown task'})
+                else:
+                    self._json(200, task)
+                return
+            self._json(404, {'error': 'not found'})
 
         def do_POST(self):
             try:
@@ -117,6 +132,8 @@ def make_handler(model_dir):
 
                 if url.path == '/api/infer':
                     self._infer(fields, q)
+                elif url.path == '/api/batch/infer':
+                    self._batch_infer(fields, q)
                 elif url.path == '/api/postprocess':
                     self._postprocess(fields, q)
                 else:
@@ -124,10 +141,10 @@ def make_handler(model_dir):
             except Exception as e:  # noqa: BLE001 — report to client
                 self._json(500, {'error': f'{type(e).__name__}: {e}'})
 
-        def _infer(self, fields, q):
+        @staticmethod
+        def _infer_payload(fields, q):
             if 'img' not in fields:
-                self._json(400, {'error': "missing file parameter 'img'"})
-                return
+                raise KeyError("missing file parameter 'img'")
             img = Image.open(io.BytesIO(fields['img'])).convert('RGB')
             resolution = q.get('resolution', ['40x'])[0]
             tile_size = RESOLUTION_TILE_SIZE.get(resolution, 512)
@@ -155,10 +172,40 @@ def make_handler(model_dir):
                 images['SegRefined'] = Image.fromarray(refined)
             if slim:
                 images = {k: v for k, v in images.items() if k == 'SegRefined'}
-            self._json(200, {
-                'images': {k: _b64_png(v) for k, v in images.items()},
-                'scoring': scoring,
-            })
+            return {'images': {k: _b64_png(v) for k, v in images.items()},
+                    'scoring': scoring}
+
+        def _infer(self, fields, q):
+            try:
+                self._json(200, self._infer_payload(fields, q))
+            except KeyError as e:
+                self._json(400, {'error': str(e).strip("'")})
+
+        def _batch_infer(self, fields, q):
+            """Async submit + poll (the ImageJ plugin contract,
+            DeepliifClient.java:29-125)."""
+            import uuid
+            if 'img' not in fields:
+                self._json(400, {'error': "missing file parameter 'img'"})
+                return
+            task_id = uuid.uuid4().hex
+            with tasks_lock:
+                tasks[task_id] = {'state': 'PENDING', 'result': None}
+
+            payload_fn = self._infer_payload
+
+            def work():
+                try:
+                    result = payload_fn(fields, q)
+                    with tasks_lock:
+                        tasks[task_id] = {'state': 'SUCCESS', 'result': result}
+                except Exception as e:  # noqa: BLE001
+                    with tasks_lock:
+                        tasks[task_id] = {'state': 'FAILURE',
+                                          'result': {'error': str(e)}}
+
+            threading.Thread(target=work, daemon=True).start()
+            self._json(200, {'task_id': task_id})
 
         def _postprocess(self, fields, q):
             for req in ('img', 'seg_img'):

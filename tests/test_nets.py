@@ -85,3 +85,34 @@ def test_dropout_only_when_training(rng_key):
     r1 = net.apply(params, x, train=True, rng=jax.random.PRNGKey(1))
     r2 = net.apply(params, x, train=True, rng=jax.random.PRNGKey(2))
     assert float(jnp.abs(r1 - r2).max()) > 1e-6  # dropout active
+
+
+def test_spectral_normalize_tree(rng_key):
+    import numpy as np
+    from deepliif_tpu.nets import layers as L2
+    w = jax.random.normal(rng_key, (3, 3, 8, 16)) * 5.0
+    params = {'conv': {'w': w, 'b': jnp.zeros(16)}}
+    params = L2.add_spectral_u(params, jax.random.PRNGKey(1))
+    assert 'u' in params['conv']
+    normed, refreshed = L2.spectral_normalize_tree(params, n_iter=20)
+    mat = np.asarray(normed['conv']['w']).reshape(-1, 16)
+    sigma = np.linalg.svd(mat, compute_uv=False)[0]
+    assert abs(sigma - 1.0) < 2e-2, sigma
+    # stacked kernels too
+    ws = jnp.stack([w, 2 * w])
+    sp = L2.add_spectral_u({'c': {'w': ws}}, jax.random.PRNGKey(2))
+    normed2, _ = L2.spectral_normalize_tree(sp, n_iter=20)
+    for i in range(2):
+        m = np.asarray(normed2['c']['w'][i]).reshape(-1, 16)
+        assert abs(np.linalg.svd(m, compute_uv=False)[0] - 1.0) < 2e-2
+
+
+def test_spectral_norm_model_forward(rng_key):
+    from deepliif_tpu.models import deepliif as dl2
+    d = dl2.DeepLIIFDef(modalities_no=2, net_g=('resnet_6blocks',) * 2,
+                        net_gs=('unet_32',) * 3, ngf=8, ndf=8, norm='spectral',
+                        seg_weights=(0.4, 0.3, 0.3))
+    params = dl2.init_params(rng_key, d, with_discriminators=False)
+    mods, seg = dl2.generator_forward(params, jnp.zeros((1, 64, 64, 3)), d)
+    assert mods.shape == (2, 1, 64, 64, 3)
+    assert bool(jnp.isfinite(seg).all())

@@ -132,3 +132,32 @@ def test_multipart_parser_roundtrip():
     fields = parse_multipart(body, ctype)
     assert fields['a'] == b'hello'
     assert fields['b'] == b'\x00\x01binary\xff'
+
+
+def test_batch_infer_poll_contract(server):
+    """The ImageJ plugin flow: POST /api/batch/infer -> task_id; GET
+    /api/batch/infer/<id> until state SUCCESS with the result payload."""
+    import time
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+    status, data = _post(server + '/api/batch/infer?resolution=40x&pil=true',
+                         {'img': _png_bytes(img)})
+    assert status == 200 and 'task_id' in data
+    tid = data['task_id']
+    for _ in range(120):
+        with urllib.request.urlopen(f'{server}/api/batch/infer/{tid}') as r:
+            st = json.loads(r.read())
+        if st['state'] == 'SUCCESS':
+            break
+        assert st['state'] == 'PENDING', st
+        time.sleep(1)
+    assert st['state'] == 'SUCCESS'
+    assert 'SegRefined' in st['result']['images']
+
+
+def test_batch_infer_unknown_task_404(server):
+    try:
+        urllib.request.urlopen(server + '/api/batch/infer/deadbeef')
+        raise AssertionError('expected 404')
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
