@@ -137,6 +137,15 @@ def train_model(opt):
             state.g_params.update({k: nets_loaded[k] for k in state.g_params})
             state.d_params.update({k: nets_loaded[k] for k in state.d_params})
             print(f'resumed networks from {save_dir} @ {epoch}')
+            optim_path = os.path.join(save_dir, f'{epoch}_optim.npz')
+            if os.path.exists(optim_path):
+                opt_state = checkpoints.load_pytree(
+                    optim_path, {'g': state.g_opt_state, 'd': state.d_opt_state,
+                                 'step': state.step})
+                state.g_opt_state = opt_state['g']
+                state.d_opt_state = opt_state['d']
+                state.step = opt_state['step']
+                print(f'resumed optimizer state @ step {int(state.step)}')
             if str(epoch).isdigit():
                 epoch_base = int(epoch)
         except FileNotFoundError as e:

@@ -52,10 +52,30 @@ class WSIReader:
         return {'size_x': w, 'size_y': h, 'pixel_type': 'uint8'}
 
     def read_region(self, x, y, w, h):
-        if self._tiled is not None:
-            return self._tiled.read_region(x, y, w, h)
-        region = self._img.crop((x, y, x + w, y + h)).convert('RGB')
-        return np.asarray(region)
+        """Read a region; on failure fall back tile-by-tile and finally to
+        zeros (the reference's salvage chain, util/__init__.py:618-691)."""
+        try:
+            if self._tiled is not None:
+                return self._tiled.read_region(x, y, w, h)
+            region = self._img.crop((x, y, x + w, y + h)).convert('RGB')
+            return np.asarray(region)
+        except Exception:
+            out = np.zeros((h, w, 3), np.uint8)
+            step = 1024
+            for ty in range(0, h, step):
+                for tx in range(0, w, step):
+                    tw, th2 = min(step, w - tx), min(step, h - ty)
+                    try:
+                        if self._tiled is not None:
+                            t = self._tiled.read_region(x + tx, y + ty, tw, th2)
+                        else:
+                            t = np.asarray(self._img.crop(
+                                (x + tx, y + ty, x + tx + tw, y + ty + th2))
+                                .convert('RGB'))
+                        out[ty:ty + th2, tx:tx + tw] = t
+                    except Exception:
+                        pass  # leave zeros for the unreadable tile
+            return out
 
     def close(self):
         if self._tiled is not None:

@@ -1,0 +1,83 @@
+"""Checkpoint/resume: continue-train restores nets + optimizer state, and a
+resumed run continues deterministically. Also covers KD training with a
+teacher model dir."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from deepliif_tpu.config import Options, TRAIN_DEFAULTS
+from deepliif_tpu.train_loop import train_model
+
+
+def _rows(d, count=2, size=64, n_tiles=4):
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(count):
+        Image.fromarray(rng.integers(0, 255, (size, size * n_tiles, 3),
+                                     np.uint8)).save(os.path.join(d, f'r{i}.png'))
+
+
+def _opt(tmp_path, **over):
+    p = dict(TRAIN_DEFAULTS)
+    p.update(dict(
+        dataroot=str(tmp_path / 'data'), name='resume',
+        checkpoints_dir=str(tmp_path / 'ckpt'),
+        model='DeepLIIF', modalities_no=2, seg_no=1, seg_gen=True,
+        netG='resnet_6blocks', net_g='resnet_6blocks', net_gs='unet_32',
+        netD='n_layers', net_d='n_layers', ngf=8, ndf=8,
+        load_size=64, crop_size=64, scale_size=64,
+        seg_weights=[0.4, 0.3, 0.3], loss_G_weights=[1 / 3] * 3,
+        loss_D_weights=[1 / 3] * 3,
+        n_epochs=1, n_epochs_decay=0, seed=0, print_freq=1,
+        save_epoch_freq=1, batch_size=1, num_threads=0,
+    ))
+    p.update(over)
+    return Options(d_params=p, mode='train')
+
+
+def test_continue_train_restores_step_and_params(tmp_path):
+    _rows(str(tmp_path / 'data' / 'train'))
+    state1, _ = train_model(_opt(tmp_path))
+    assert int(state1.step) == 2
+    # resume: step counter and params come back
+    state2, _ = train_model(_opt(tmp_path, continue_train=True, epoch='latest'))
+    # resumed run started from step 2 and ran 2 more
+    assert int(state2.step) == 4
+    exp = tmp_path / 'ckpt' / 'resume'
+    assert (exp / 'latest_optim.npz').exists()
+
+
+def test_kd_training_with_teacher(tmp_path):
+    from deepliif_tpu.models import deepliif as dl
+    from deepliif_tpu.utils import checkpoints
+
+    # teacher model dir (same tiny topology)
+    teacher_dir = tmp_path / 'teacher'
+    teacher_dir.mkdir()
+    d = dl.DeepLIIFDef(modalities_no=2, net_g=('resnet_6blocks',) * 2,
+                       net_gs=('unet_32',) * 3, ngf=8, ndf=8,
+                       seg_weights=(0.4, 0.3, 0.3))
+    tp = dl.init_params(jax.random.PRNGKey(42), d, with_discriminators=False)
+    checkpoints.save_networks(str(teacher_dir), tp)
+    with open(teacher_dir / 'config.json', 'w') as f:
+        json.dump({'model': 'DeepLIIF', 'modalities_no': 2, 'seg_gen': True,
+                   'seg_no': 1, 'input_no': 1, 'netG': 'resnet_6blocks',
+                   'net_gs': 'unet_32', 'ngf': 8, 'norm': 'batch',
+                   'no_dropout': False, 'padding': 'zero',
+                   'upsample': 'convtranspose', 'scale_size': 64,
+                   'seg_weights': [0.4, 0.3, 0.3],
+                   'modalities_names': ['IHC', 'A', 'B']}, f)
+
+    _rows(str(tmp_path / 'data' / 'train'), count=1)
+    state, metrics = train_model(_opt(
+        tmp_path, model='DeepLIIFKD', model_dir_teacher=str(teacher_dir),
+        max_dataset_size=1))
+    assert int(state.step) == 1
+    assert 'G_KD' in metrics
+    assert np.isfinite(float(metrics['G_KD'])) and float(metrics['G_KD']) >= 0
