@@ -83,8 +83,9 @@ class InferenceSession:
         # torch-era model dir
         return torch_import.import_deepliif_dir(model_dir, self.opt)
 
-    def _forward(self, seg_weights):
-        key = tuple(seg_weights) if seg_weights is not None else None
+    def _forward(self, seg_weights, intermediate=False):
+        key = (tuple(seg_weights) if seg_weights is not None else None,
+               intermediate)
         if key not in self._jitted:
             d = self.d
 
@@ -93,21 +94,19 @@ class InferenceSession:
                 x = x.astype(jnp.float32) / 127.5 - 1.0
                 if d.dtype is not None:
                     x = x.astype(d.dtype)
-                mods, seg = dl.generator_forward(params, x, d,
-                                                 seg_weights=seg_weights)
+                res = dl.inference_forward(params, x, d,
+                                           seg_weights=seg_weights,
+                                           return_intermediate=intermediate)
                 # quantize on device: tanh range -> uint8 (reference
                 # tensor2im semantics: (y+1)/2*255 truncating). Moves 4x
                 # less data device->host than f32 outputs.
-                out = {'mods': _quantize_u8(mods)}
-                if seg is not None:
-                    out['seg'] = _quantize_u8(seg)
-                return out
+                return {k: _quantize_u8(v) for k, v in res.items()}
 
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
 
     def run_tiles(self, tiles_u8, seg_weights=None, seg_only=False,
-                  mod_only=False):
+                  mod_only=False, return_intermediate=False):
         """tiles_u8: (N, s, s, 3) uint8 -> dict of (N, s, s, 3) uint8 outputs
         keyed by net id (G1..Gm, GS, and GS0..GSm when intermediates wanted).
 
@@ -140,12 +139,16 @@ class InferenceSession:
                 (n, th, tw, 1))
         if self.d.seg_gen and not mod_only:
             out['GS'] = np.zeros((n, th, tw, 3), np.uint8)
+            if return_intermediate:
+                for i in range(m + 1):
+                    out[f'GS{i}'] = np.zeros((n, th, tw, 3), np.uint8)
 
         if len(nonempty) == 0:
             return out
 
         x_all = tiles_u8[nonempty]  # normalization happens on device
-        fwd = self._forward(tuple(seg_weights) if seg_weights is not None else None)
+        fwd = self._forward(tuple(seg_weights) if seg_weights is not None else None,
+                            return_intermediate and self.d.seg_gen and not mod_only)
 
         pos = 0
         while pos < len(nonempty):
@@ -163,6 +166,10 @@ class InferenceSession:
                 out[f'G{i+1}'][idx] = mods[i][:valid]
             if 'seg' in res and not mod_only:
                 out['GS'][idx] = np.asarray(res['seg'])[:valid]
+            if 'segs' in res and not mod_only:
+                segs = np.asarray(res['segs'])
+                for i in range(segs.shape[0]):
+                    out[f'GS{i}'][idx] = segs[i][:valid]
             pos += valid
         return out
 
@@ -234,7 +241,8 @@ def inference(img, tile_size, overlap_size, model_path, use_torchserve=False,
         net_in = tiles
 
     results_net = session.run_tiles(net_in, seg_weights=seg_weights,
-                                    seg_only=seg_only, mod_only=mod_only)
+                                    seg_only=seg_only, mod_only=mod_only,
+                                    return_intermediate=return_seg_intermediate)
 
     for key, batch in results_net.items():
         if batch.shape[1] != tile_size:
@@ -266,6 +274,16 @@ def inference(img, tile_size, overlap_size, model_path, use_torchserve=False,
     else:
         images = {nm: results[mid] for nm, mid in d_modname2id.items()
                   if mid in results}
+
+    if return_seg_intermediate and not seg_only and getattr(opt, 'seg_gen', True):
+        # per-branch seg outputs named '{modality}_s' (reference
+        # models/__init__.py:545-556)
+        l_seg = [f'mod{i}' for i in range(m + 1)]
+        if l_seg != list(modality_names):
+            l_seg = [f'mod{i}-{nm}' for i, nm in enumerate(modality_names)]
+        for i, nm in enumerate(l_seg):
+            if f'GS{i}' in results:
+                images[f'{nm}_s'] = results[f'GS{i}']
     return images
 
 

@@ -245,13 +245,33 @@ def generator_forward(params, x, d: DeepLIIFDef, *, train=False, rng=None,
 
 def inference_forward(params, x, d: DeepLIIFDef, seg_weights=None,
                       return_intermediate=False):
-    """Inference entry: returns dict {'mods': (M,B,H,W,C), 'seg': (B,H,W,C)}."""
+    """Inference entry: returns dict {'mods': (M,B,H,W,C), 'seg': (B,H,W,C)}
+    (+ 'segs': (M+1,B,H,W,C) per-branch outputs when requested)."""
+    if return_intermediate and d.seg_gen and d.uniform_g and d.uniform_gs:
+        mods, seg, segs = forward_with_branches(params, x, d,
+                                                seg_weights=seg_weights)
+        return {'mods': mods, 'seg': seg, 'segs': segs}
     mods, seg = generator_forward(params, x, d, train=False,
                                   seg_weights=seg_weights)
     out = {'mods': mods}
     if seg is not None:
         out['seg'] = seg
     return out
+
+
+def forward_with_branches(params, x, d: DeepLIIFDef, seg_weights=None):
+    """Like generator_forward but also returns the per-branch seg outputs
+    (the reference's return_seg_intermediate / KD teacher path)."""
+    params = _maybe_spectral(params, d)
+    net = _g_net(d, d.net_g[0])
+    mods = jax.vmap(lambda p: net.apply(p, x))(params['G'])
+    seg_in = jnp.concatenate([x[None].astype(mods.dtype), mods], axis=0)
+    gs = _gs_net(d, d.net_gs[0])
+    segs = jax.vmap(lambda p, xi: gs.apply(p, xi))(params['GS'], seg_in)
+    w = jnp.asarray(d.seg_weights if seg_weights is None else seg_weights,
+                    segs.dtype)
+    seg = jnp.tensordot(w, segs, axes=1)
+    return mods, seg, segs
 
 
 # ---------------------------------------------------------------------------

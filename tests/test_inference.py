@@ -86,3 +86,14 @@ def test_seg_only_filters_outputs(model_dir):
     img = _sample_img(64, 64)
     images, scoring = infer_modalities(img, 64, model_dir, seg_only=True)
     assert all('Seg' in k for k in images)
+
+
+def test_seg_intermediate_outputs(model_dir):
+    from deepliif_tpu.models import inference
+    img = _sample_img(64, 64)
+    images = inference(img, tile_size=64, overlap_size=0, model_path=model_dir,
+                       return_seg_intermediate=True)
+    inter = [k for k in images if k.endswith('_s')]
+    assert len(inter) == 3, sorted(images)  # M+1 branches
+    for k in inter:
+        assert images[k].size == img.size

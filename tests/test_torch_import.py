@@ -159,3 +159,89 @@ def test_nlayer_d_import_forward_parity():
         params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), n_layers=4)
     diff = np.abs(np.asarray(out) - ref)
     assert diff.max() < 2e-3, diff.max()
+
+
+def torch_att_unet(cin=3, cout=3):
+    """Reference-layout AttU_Net (att_unet.py:31-199) with named submodules."""
+    def conv_block(ci, co, innermost=False, outermost=False):
+        m = nn.Module()
+        if outermost:
+            m.conv = nn.Sequential(nn.Conv2d(ci, co, 4, 2, 1, bias=True),
+                                   nn.LeakyReLU(0.2, True))
+        elif innermost:
+            m.conv = nn.Sequential(nn.Conv2d(ci, co, 4, 2, 1, bias=True),
+                                   nn.ReLU(True))
+        else:
+            m.conv = nn.Sequential(nn.Conv2d(ci, co, 4, 2, 1, bias=True),
+                                   BN(co), nn.LeakyReLU(0.2, True))
+        m.forward = lambda x, m=m: m.conv(x)
+        return m
+
+    def up_conv(ci, co, innermost=False, outermost=False):
+        m = nn.Module()
+        if outermost:
+            m.up = nn.Sequential(nn.ConvTranspose2d(ci * 2, co, 4, 2, 1),
+                                 nn.Tanh())
+        elif innermost:
+            m.up = nn.Sequential(nn.ConvTranspose2d(ci, co, 4, 2, 1, bias=False),
+                                 BN(co), nn.ReLU(True))
+        else:
+            m.up = nn.Sequential(nn.ConvTranspose2d(ci * 2, co, 4, 2, 1, bias=False),
+                                 BN(co), nn.ReLU(True))
+        m.forward = lambda x, m=m: m.up(x)
+        return m
+
+    def att_block(fg, fl, fi):
+        m = nn.Module()
+        m.W_g = nn.Sequential(nn.Conv2d(fg, fi, 1, bias=True), BN(fi))
+        m.W_x = nn.Sequential(nn.Conv2d(fl, fi, 1, bias=True), BN(fi))
+        m.psi = nn.Sequential(nn.Conv2d(fi, 1, 1, bias=True), BN(1), nn.Sigmoid())
+        m.forward = lambda g, x, m=m: x * m.psi(torch.relu(m.W_g(g) + m.W_x(x)))
+        return m
+
+    net = nn.Module()
+    chans = [64, 128, 256, 512, 512, 512, 512, 512]
+    ci = cin
+    for i, co in enumerate(chans):
+        setattr(net, f'Conv{i+1}', conv_block(ci, co, innermost=(i == 7),
+                                              outermost=(i == 0)))
+        ci = co
+    net.Up8 = up_conv(512, 512, innermost=True)
+    net.Att8 = att_block(512, 512, 512)
+    for lvl, (cin2, cout2, fi) in zip(range(7, 1, -1),
+                                      [(512, 512, 512), (512, 512, 512),
+                                       (512, 512, 512), (512, 256, 128),
+                                       (256, 128, 64), (128, 64, 32)]):
+        setattr(net, f'Up{lvl}', up_conv(cin2, cout2))
+        setattr(net, f'Att{lvl}', att_block(cout2, cout2, fi))
+    net.Up1 = up_conv(64, cout, outermost=True)
+
+    def forward(x, net=net):
+        enc = []
+        h = x
+        for i in range(8):
+            h = getattr(net, f'Conv{i+1}')(h)
+            enc.append(h)
+        d = net.Up8(enc[7])
+        s = net.Att8(d, enc[6])
+        d = torch.cat((s, d), 1)
+        for lvl, si in zip(range(7, 1, -1), range(5, -1, -1)):
+            d = getattr(net, f'Up{lvl}')(d)
+            s = getattr(net, f'Att{lvl}')(d, enc[si])
+            d = torch.cat((s, d), 1)
+        return net.Up1(d)
+
+    net.forward = forward
+    return net
+
+
+def test_att_unet_import_forward_parity():
+    from deepliif_tpu.nets import att_unet
+    net = _rand_init(torch_att_unet())
+    x = torch.randn(1, 3, 256, 256)
+    with torch.no_grad():
+        ref = net(x).numpy().transpose(0, 2, 3, 1)
+    params = ti._as_jnp(ti.import_att_unet(net.state_dict()))
+    out = att_unet.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    diff = np.abs(np.asarray(out) - ref)
+    assert diff.max() < 2e-3, diff.max()
