@@ -90,3 +90,22 @@ def test_get_cell_count_metrics_on_sample(tmp_path):
     assert m['Lung1']['num_total'] == 60
     assert m['Bladder1']['num_total'] == 183
     assert (tmp_path / 'metrics.json').exists()
+
+
+def test_detection_adapters():
+    from deepliif_tpu.stats.adapters import (detection_points_from_mask,
+                                             match_detections,
+                                             split_touching_cells)
+    mask = np.zeros((60, 60), bool)
+    mask[10:20, 10:20] = True
+    mask[30:45, 30:45] = True
+    pts = detection_points_from_mask(mask)
+    assert len(pts) == 2
+    yy, xx = np.mgrid[:60, :80]
+    m2 = ((yy - 30) ** 2 + (xx - 25) ** 2 < 15 ** 2) | \
+         ((yy - 30) ** 2 + (xx - 52) ** 2 < 15 ** 2)
+    lab = split_touching_cells(m2)
+    assert len(np.unique(lab)) - 1 == 2  # touching circles separated
+    m = match_detections([(10, 10), (30, 30), (55, 55)], [(11, 9), (29, 31)],
+                         max_distance=5)
+    assert m['tp'] == 2 and m['fp'] == 1 and m['fn'] == 0
