@@ -83,24 +83,44 @@ class InferenceSession:
         # torch-era model dir
         return torch_import.import_deepliif_dir(model_dir, self.opt)
 
-    def _forward(self, seg_weights, intermediate=False):
+    def _marker_index(self):
+        names = getattr(self.opt, 'modalities_names', []) or []
+        input_no = getattr(self.opt, 'input_no', 1)
+        for i, nm in enumerate(names[input_no:]):
+            if 'Marker' in nm:
+                return i
+        return None
+
+    def _forward(self, seg_weights, intermediate=False, seg_only=False):
         key = (tuple(seg_weights) if seg_weights is not None else None,
-               intermediate)
+               intermediate, seg_only)
         if key not in self._jitted:
             d = self.d
 
-            def fn(params, x):
-                # normalize on device: uint8 -> [-1, 1]
+            def _norm(x):
                 x = x.astype(jnp.float32) / 127.5 - 1.0
-                if d.dtype is not None:
-                    x = x.astype(d.dtype)
-                res = dl.inference_forward(params, x, d,
-                                           seg_weights=seg_weights,
-                                           return_intermediate=intermediate)
-                # quantize on device: tanh range -> uint8 (reference
-                # tensor2im semantics: (y+1)/2*255 truncating). Moves 4x
-                # less data device->host than f32 outputs.
-                return {k: _quantize_u8(v) for k, v in res.items()}
+                return x.astype(d.dtype) if d.dtype is not None else x
+
+            if seg_only:
+                marker_index = self._marker_index()
+
+                def fn(params, x):
+                    seg, marker = dl.seg_only_forward(
+                        params, _norm(x), d, seg_weights=seg_weights,
+                        marker_index=marker_index)
+                    out = {'seg': _quantize_u8(seg)}
+                    if marker is not None:
+                        out['marker'] = _quantize_u8(marker)
+                    return out
+            else:
+                def fn(params, x):
+                    res = dl.inference_forward(params, _norm(x), d,
+                                               seg_weights=seg_weights,
+                                               return_intermediate=intermediate)
+                    # quantize on device: tanh range -> uint8 (reference
+                    # tensor2im semantics: (y+1)/2*255 truncating). Moves 4x
+                    # less data device->host than f32 outputs.
+                    return {k: _quantize_u8(v) for k, v in res.items()}
 
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
@@ -147,8 +167,13 @@ class InferenceSession:
             return out
 
         x_all = tiles_u8[nonempty]  # normalization happens on device
+        use_seg_only = (seg_only and self.d.seg_gen and not mod_only
+                        and not return_intermediate and self.d.uniform_g
+                        and self.d.uniform_gs)
         fwd = self._forward(tuple(seg_weights) if seg_weights is not None else None,
-                            return_intermediate and self.d.seg_gen and not mod_only)
+                            return_intermediate and self.d.seg_gen and not mod_only,
+                            seg_only=use_seg_only)
+        marker_idx = self._marker_index() if use_seg_only else None
 
         pos = 0
         while pos < len(nonempty):
@@ -159,11 +184,14 @@ class InferenceSession:
                 chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:],
                                                         chunk.dtype)])
             res = fwd(self.params, jnp.asarray(chunk))
-            mods = np.asarray(res['mods'])  # (M, b, s, s, 3) uint8
             valid = b - pad
             idx = nonempty[pos:pos + valid]
-            for i in range(m):
-                out[f'G{i+1}'][idx] = mods[i][:valid]
+            if 'mods' in res:
+                mods = np.asarray(res['mods'])  # (M, b, s, s, 3) uint8
+                for i in range(m):
+                    out[f'G{i+1}'][idx] = mods[i][:valid]
+            elif 'marker' in res and marker_idx is not None:
+                out[f'G{marker_idx+1}'][idx] = np.asarray(res['marker'])[:valid]
             if 'seg' in res and not mod_only:
                 out['GS'][idx] = np.asarray(res['seg'])[:valid]
             if 'segs' in res and not mod_only:

@@ -259,6 +259,52 @@ def inference_forward(params, x, d: DeepLIIFDef, seg_weights=None,
     return out
 
 
+def seg_only_forward(params, x, d: DeepLIIFDef, seg_weights=None,
+                     marker_index=None):
+    """Segmentation-only forward that SKIPS zero-weight branches (reference
+    run_dask seg_only pruning, models/__init__.py:319-333): only translators
+    whose seg branch has nonzero weight (plus the marker modality, if
+    requested) are evaluated. Returns (seg, marker_mod_or_None).
+
+    seg weights are static here, so XLA compiles the reduced graph —
+    with the legacy [0.5,0,0,0,0.5] weights this is 1 translator + 2 seg
+    branches instead of 4 + 5.
+    """
+    params = _maybe_spectral(params, d)
+    w = tuple(d.seg_weights if seg_weights is None else seg_weights)
+    m = d.modalities_no
+    needed_mods = [i for i in range(m) if w[i + 1] != 0]
+    run_mods = sorted(set(needed_mods) | ({marker_index}
+                                          if marker_index is not None else set()))
+
+    net = _g_net(d, d.net_g[0])
+    mods = {}
+    if run_mods:
+        sub = jax.tree_util.tree_map(lambda a: a[jnp.asarray(run_mods)],
+                                     params['G'])
+        outs = jax.vmap(lambda p: net.apply(p, x))(sub)
+        mods = {i: outs[j] for j, i in enumerate(run_mods)}
+
+    gs = _gs_net(d, d.net_gs[0])
+    seg_terms = []
+    gs_indices = [0] + [i + 1 for i in needed_mods] if w[0] != 0 else \
+        [i + 1 for i in needed_mods]
+    if gs_indices:
+        inputs = jnp.stack([x.astype(next(iter(mods.values())).dtype
+                                     if mods else x.dtype)
+                            if gi == 0 else mods[gi - 1]
+                            for gi in gs_indices])
+        sub_gs = jax.tree_util.tree_map(lambda a: a[jnp.asarray(gs_indices)],
+                                        params['GS'])
+        segs = jax.vmap(lambda p, xi: gs.apply(p, xi))(sub_gs, inputs)
+        ws = jnp.asarray([w[gi] for gi in gs_indices], segs.dtype)
+        seg = jnp.tensordot(ws, segs, axes=1)
+    else:
+        seg = jnp.zeros_like(x)
+    marker = mods.get(marker_index) if marker_index is not None else None
+    return seg, marker
+
+
 def forward_with_branches(params, x, d: DeepLIIFDef, seg_weights=None):
     """Like generator_forward but also returns the per-branch seg outputs
     (the reference's return_seg_intermediate / KD teacher path)."""

@@ -96,3 +96,16 @@ def test_def_from_opt_roundtrip():
     assert d.net_gs == ('unet_512',) * 5
     assert d.gan_mode == 'vanilla' and d.gan_mode_s == 'lsgan'
     assert d.seg_weights == (0.25, 0.15, 0.25, 0.1, 0.25)
+
+
+def test_seg_only_forward_matches_full(tiny_params):
+    """seg_only_forward skips zero-weight branches but must produce the same
+    seg as the full ensemble for the same weights."""
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, SIZE, SIZE, 3))
+    weights = (0.5, 0.0, 0.5)  # skip branch 1's translator
+    _, seg_full = dl.generator_forward(tiny_params, x, TINY, seg_weights=weights)
+    seg_fast, marker = dl.seg_only_forward(tiny_params, x, TINY,
+                                           seg_weights=weights, marker_index=1)
+    np.testing.assert_allclose(np.asarray(seg_fast), np.asarray(seg_full),
+                               rtol=1e-4, atol=1e-5)
+    assert marker is not None and marker.shape == (1, SIZE, SIZE, 3)
