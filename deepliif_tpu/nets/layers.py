@@ -115,13 +115,19 @@ def conv_transpose2d(x, p, stride=2, padding=1, output_padding=1):
 # ---------------------------------------------------------------------------
 
 def batch_stat_norm(x, p, eps=1e-5):
-    """BatchNorm2d with per-batch statistics (biased variance), affine."""
+    """BatchNorm2d with per-batch statistics (biased variance), affine.
+
+    Statistics are computed in float32 (small per-channel reductions); the
+    normalization arithmetic stays in the activation dtype so bf16 runs keep
+    bf16 temps — upcasting the full activation tensor to f32 doubled HBM
+    footprint and OOM'd large tile batches.
+    """
     x32 = x.astype(jnp.float32)
     mean = x32.mean(axis=(0, 1, 2))
     var = ((x32 - mean) ** 2).mean(axis=(0, 1, 2))
-    inv = jax.lax.rsqrt(var + eps)
-    out = (x32 - mean) * inv * p['scale'] + p['bias']
-    return out.astype(x.dtype)
+    scale = (jax.lax.rsqrt(var + eps) * p['scale']).astype(x.dtype)
+    bias = (p['bias'] - mean * jax.lax.rsqrt(var + eps) * p['scale']).astype(x.dtype)
+    return x * scale + bias
 
 
 def instance_norm(x, p=None, eps=1e-5):
@@ -129,10 +135,14 @@ def instance_norm(x, p=None, eps=1e-5):
     x32 = x.astype(jnp.float32)
     mean = x32.mean(axis=(1, 2), keepdims=True)
     var = ((x32 - mean) ** 2).mean(axis=(1, 2), keepdims=True)
-    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    inv = jax.lax.rsqrt(var + eps)
     if p is not None and 'scale' in p:
-        out = out * p['scale'] + p['bias']
-    return out.astype(x.dtype)
+        scale = (inv * p['scale']).astype(x.dtype)
+        bias = (p['bias'] - mean * inv * p['scale']).astype(x.dtype)
+    else:
+        scale = inv.astype(x.dtype)
+        bias = (-mean * inv).astype(x.dtype)
+    return x * scale + bias
 
 
 def apply_norm(x, p, norm_type):
