@@ -109,3 +109,13 @@ def test_seg_only_forward_matches_full(tiny_params):
     np.testing.assert_allclose(np.asarray(seg_fast), np.asarray(seg_full),
                                rtol=1e-4, atol=1e-5)
     assert marker is not None and marker.shape == (1, SIZE, SIZE, 3)
+
+
+def test_fused_forward_matches_vmapped(tiny_params):
+    """Grouped-conv ensemble must be numerically identical to the vmapped
+    path (it is the same math in a different layout)."""
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, SIZE, SIZE, 3))
+    m1, s1 = dl.generator_forward(tiny_params, x, TINY)
+    m2, s2 = dl.fused_forward(tiny_params, x, TINY)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
