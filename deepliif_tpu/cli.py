@@ -20,7 +20,7 @@ from __future__ import annotations
 import glob
 import json
 import os
-import sys
+
 
 import click
 import numpy as np
@@ -29,7 +29,6 @@ from .config import Options, TRAIN_DEFAULTS, print_options, get_opt
 
 
 def allowed_file(filename):
-    from .utils import tensor2im  # noqa: F401  (package init side effects)
     excluding = ['Hema', 'DAPI', 'DAPILap2', 'Ki67', 'Seg', 'Marked',
                  'SegRefined', 'SegOverlaid', 'Marker', 'Lap2']
     name, ext = os.path.splitext(filename)

@@ -24,8 +24,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import get_opt, Options
-from ..utils import image_to_input, image_variance_gray, tensor2im
+from ..config import get_opt
+from ..utils import image_variance_gray
 from ..utils.tiler import InferenceTiler
 from . import deepliif as dl
 

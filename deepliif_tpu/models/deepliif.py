@@ -23,8 +23,7 @@ ONE pure function over a parameter pytree:
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ IOHW for ConvTranspose2d) are converted by deepliif_tpu.utils.torch_import.
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

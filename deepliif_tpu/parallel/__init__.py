@@ -9,8 +9,6 @@ replicated; gradient psums ride ICI inside the jitted step.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

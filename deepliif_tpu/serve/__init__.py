@@ -85,7 +85,7 @@ def make_handler(model_dir):
     from PIL import Image
 
     from .. import postprocessing as pp
-    from ..models import infer_modalities, init_nets, find_marker_key
+    from ..models import init_nets, find_marker_key
 
     session_lock = threading.Lock()
     # async batch tasks for the ImageJ plugin contract:
