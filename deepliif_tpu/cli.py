@@ -100,6 +100,8 @@ def cli():
 @click.option('--max-dataset-size', default=None, type=int)
 @click.option('--precision', default='float32', type=click.Choice(['float32', 'bfloat16']))
 @click.option('--remote', default=False, type=bool, help='pickle plot snapshots for `visualize`')
+@click.option('--remote-transfer-cmd', default=None,
+              help='module.function invoked with each saved checkpoint path')
 @click.option('--model-dir-teacher', default=None,
               help='teacher model dir (required for DeepLIIFKD)')
 @click.option('--pool-size', default=50, type=int, help='CycleGAN image pool size')

@@ -242,12 +242,12 @@ def train_model(opt):
                 visualizer.display_current_results(vis, epoch, True)
 
             if total_iters % save_latest_freq == 0:
-                _save_state(save_dir, state, 'latest')
+                _save_state(save_dir, state, 'latest', getattr(opt, 'remote_transfer_cmd', None))
             iter_data_time = time.time()
 
         if epoch % save_epoch_freq == 0:
-            _save_state(save_dir, state, 'latest')
-            _save_state(save_dir, state, str(epoch + epoch_base))
+            _save_state(save_dir, state, 'latest', getattr(opt, 'remote_transfer_cmd', None))
+            _save_state(save_dir, state, str(epoch + epoch_base), getattr(opt, 'remote_transfer_cmd', None))
 
         if eval_fn is not None:
             _run_validation(opt, d, state, eval_fn, visualizer, epoch, rng)
@@ -256,7 +256,7 @@ def train_model(opt):
         print(f'End of epoch {epoch} / {n_epochs + n_epochs_decay} \t '
               f'Time Taken: {time.time() - epoch_start:.0f} sec')
 
-    _save_state(save_dir, state, 'latest')
+    _save_state(save_dir, state, 'latest', getattr(opt, 'remote_transfer_cmd', None))
     visualizer.plot_to_png()
     return state, metrics
 
@@ -316,22 +316,43 @@ def _train_cyclegan(opt):
                 visualizer.plot_current_losses(
                     epoch, total_iters / max(1, len(dataset)), m)
         if epoch % save_epoch_freq == 0:
-            _save_state(save_dir, state, 'latest')
-            _save_state(save_dir, state, str(epoch))
+            _save_state(save_dir, state, 'latest', getattr(opt, 'remote_transfer_cmd', None))
+            _save_state(save_dir, state, str(epoch), getattr(opt, 'remote_transfer_cmd', None))
         print(f'End of epoch {epoch} / {n_total} \t '
               f'Time Taken: {time.time() - epoch_start:.0f} sec')
-    _save_state(save_dir, state, 'latest')
+    _save_state(save_dir, state, 'latest', getattr(opt, 'remote_transfer_cmd', None))
     return state, metrics
 
 
-def _save_state(save_dir, state, suffix):
+def _save_state(save_dir, state, suffix, remote_transfer_cmd=None):
     params = {}
     params.update(state.g_params)
     params.update(state.d_params)
     checkpoints.save_networks(save_dir, params, suffix)
-    checkpoints.save_pytree(os.path.join(save_dir, f'{suffix}_optim.npz'),
+    optim_path = os.path.join(save_dir, f'{suffix}_optim.npz')
+    checkpoints.save_pytree(optim_path,
                             {'g': state.g_opt_state, 'd': state.d_opt_state,
                              'step': state.step})
+    if remote_transfer_cmd:
+        _remote_transfer(remote_transfer_cmd, save_dir, suffix, optim_path)
+
+
+def _remote_transfer(cmd, save_dir, suffix, optim_path):
+    """Invoke a user-supplied 'module.function(path)' on each saved file
+    (reference --remote-transfer-cmd, base_model.py:49-56)."""
+    import importlib
+    try:
+        mod_name, fn_name = cmd.rsplit('.', 1)
+        fn = getattr(importlib.import_module(mod_name), fn_name)
+    except Exception as e:
+        print(f'remote-transfer-cmd {cmd!r} not loadable: {e}')
+        return
+    for f in sorted(os.listdir(save_dir)):
+        if f.startswith(f'{suffix}_net_') or f == os.path.basename(optim_path):
+            try:
+                fn(os.path.join(save_dir, f))
+            except Exception as e:
+                print(f'remote transfer failed for {f}: {e}')
 
 
 def _run_validation(opt, d, state, eval_fn, visualizer, epoch, rng):
