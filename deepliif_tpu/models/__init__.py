@@ -57,31 +57,71 @@ def _bucket(n, max_batch=16):
 
 
 class InferenceSession:
-    """Loaded DeepLIIF-family model ready for batched tile inference."""
+    """Loaded model (any family) ready for batched tile inference.
+
+    Output key names per family mirror the reference net ids:
+      DeepLIIF/KD: G1..Gm + GS (+ GS0..GSm intermediates)
+      DeepLIIFExt: G_1..G_m + GS_1..GS_m
+      SDG:         G_1..G_m
+      CycleGAN:    GA_1..GA_m (or GB_* with BtoA)
+    """
 
     def __init__(self, model_dir, opt=None, phase='test', max_batch=16):
         self.model_dir = model_dir
         self.opt = opt if opt is not None else get_opt(model_dir, mode=phase)
         self.max_batch = max_batch
-        model = getattr(self.opt, 'model', 'DeepLIIF')
-        if model not in ('DeepLIIF', 'DeepLIIFKD'):
-            raise NotImplementedError(
-                f'InferenceSession currently supports DeepLIIF/DeepLIIFKD; '
-                f'got {model} (Ext/SDG/CycleGAN sessions land with their models)')
-        self.d = dl.def_from_opt(self.opt)
+        self.model = getattr(self.opt, 'model', 'DeepLIIF')
+        if self.model in ('DeepLIIF', 'DeepLIIFKD'):
+            self.family = 'deepliif'
+            self.d = dl.def_from_opt(self.opt)
+        elif self.model == 'DeepLIIFExt':
+            from . import deepliif_ext as ext
+            self.family = 'ext'
+            self.d = ext.def_from_opt(self.opt)
+        elif self.model == 'SDG':
+            from . import sdg as sdg_m
+            self.family = 'sdg'
+            self.d = sdg_m.def_from_opt(self.opt)
+        elif self.model == 'CycleGAN':
+            from . import cyclegan as cg
+            self.family = 'cyclegan'
+            self.d = cg.def_from_opt(self.opt)
+        else:
+            raise NotImplementedError(f'unknown model family {self.model}')
         self.params = self._load_params(model_dir)
         self._jitted = {}
+
+    def _init_like(self):
+        if self.family == 'deepliif':
+            return lambda k: dl.init_params(k, self.d, with_discriminators=False)
+        if self.family == 'ext':
+            from . import deepliif_ext as ext
+            return lambda k: ext.init_params(k, self.d, with_discriminators=False)
+        if self.family == 'sdg':
+            from . import sdg as sdg_m
+            return lambda k: sdg_m.init_params(k, self.d, with_discriminators=False)
+        from . import cyclegan as cg
+        return lambda k: cg.init_params(k, self.d, with_discriminators=False)
 
     def _load_params(self, model_dir):
         from ..utils import checkpoints, torch_import
         if checkpoints.has_native_checkpoint(model_dir):
             # structure-only init: eval_shape skips all computation
-            like = jax.eval_shape(
-                lambda k: dl.init_params(k, self.d, with_discriminators=False),
-                jax.random.PRNGKey(0))
+            like = jax.eval_shape(self._init_like(), jax.random.PRNGKey(0))
+            if self.family == 'cyclegan':
+                # a test dir may ship only one direction
+                like = {k: v for k, v in like.items()
+                        if os.path.exists(os.path.join(model_dir,
+                                                       f'latest_net_{k}.npz'))}
             return checkpoints.load_networks(model_dir, like)
         # torch-era model dir
-        return torch_import.import_deepliif_dir(model_dir, self.opt)
+        if self.family == 'deepliif':
+            return torch_import.import_deepliif_dir(model_dir, self.opt)
+        if self.family == 'ext':
+            return torch_import.import_ext_dir(model_dir, self.opt)
+        if self.family == 'sdg':
+            return torch_import.import_sdg_dir(model_dir, self.opt)
+        return torch_import.import_cyclegan_dir(model_dir, self.opt)
 
     def _marker_index(self):
         names = getattr(self.opt, 'modalities_names', []) or []
@@ -96,12 +136,13 @@ class InferenceSession:
                intermediate, seg_only)
         if key not in self._jitted:
             d = self.d
+            family = self.family
 
             def _norm(x):
                 x = x.astype(jnp.float32) / 127.5 - 1.0
                 return x.astype(d.dtype) if d.dtype is not None else x
 
-            if seg_only:
+            if family == 'deepliif' and seg_only:
                 marker_index = self._marker_index()
 
                 def fn(params, x):
@@ -112,7 +153,7 @@ class InferenceSession:
                     if marker is not None:
                         out['marker'] = _quantize_u8(marker)
                     return out
-            else:
+            elif family == 'deepliif':
                 def fn(params, x):
                     res = dl.inference_forward(params, _norm(x), d,
                                                seg_weights=seg_weights,
@@ -121,9 +162,40 @@ class InferenceSession:
                     # tensor2im semantics: (y+1)/2*255 truncating). Moves 4x
                     # less data device->host than f32 outputs.
                     return {k: _quantize_u8(v) for k, v in res.items()}
+            elif family == 'ext':
+                from . import deepliif_ext as ext
+
+                def fn(params, x):
+                    mods, segs = ext.generator_forward(params, _norm(x), d)
+                    out = {'mods': _quantize_u8(mods)}
+                    if segs is not None:
+                        out['segs'] = _quantize_u8(segs)
+                    return out
+            elif family == 'sdg':
+                from . import sdg as sdg_m
+
+                def fn(params, x):
+                    mods, _ = sdg_m.generator_forward(params, _norm(x), d)
+                    return {'mods': _quantize_u8(mods)}
+            else:  # cyclegan
+                from . import cyclegan as cg
+                bto_a = getattr(self.opt, 'BtoA', False)
+
+                def fn(params, x):
+                    mods = cg.inference_forward(params, _norm(x), d, bto_a)
+                    return {'mods': _quantize_u8(mods)}
 
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
+
+    def _mod_keys(self):
+        m = self.d.modalities_no
+        if self.family == 'deepliif':
+            return [f'G{i+1}' for i in range(m)]
+        if self.family == 'cyclegan':
+            prefix = 'GB' if getattr(self.opt, 'BtoA', False) else 'GA'
+            return [f'{prefix}_{i+1}' for i in range(m)]
+        return [f'G_{i+1}' for i in range(m)]
 
     def run_tiles(self, tiles_u8, seg_weights=None, seg_only=False,
                   mod_only=False, return_intermediate=False):
@@ -150,26 +222,32 @@ class InferenceSession:
 
         out = {}
         th, tw = tiles_u8.shape[1:3]
+        mod_keys = self._mod_keys()
+        seg_gen = getattr(self.d, 'seg_gen', False)
         bg = getattr(self.opt, 'background_colors',
                      [(10, 10, 10)] * m) or [(10, 10, 10)] * m
-        for i in range(m):
+        for i, mk in enumerate(mod_keys):
             color = tuple(bg[i]) if i < len(bg) else (10, 10, 10)
-            out[f'G{i+1}'] = np.tile(
+            out[mk] = np.tile(
                 np.asarray(color, np.uint8)[None, None, None, :],
                 (n, th, tw, 1))
-        if self.d.seg_gen and not mod_only:
-            out['GS'] = np.zeros((n, th, tw, 3), np.uint8)
-            if return_intermediate:
-                for i in range(m + 1):
-                    out[f'GS{i}'] = np.zeros((n, th, tw, 3), np.uint8)
+        if seg_gen and not mod_only:
+            if self.family == 'deepliif':
+                out['GS'] = np.zeros((n, th, tw, 3), np.uint8)
+                if return_intermediate:
+                    for i in range(m + 1):
+                        out[f'GS{i}'] = np.zeros((n, th, tw, 3), np.uint8)
+            elif self.family == 'ext':
+                for i in range(m):
+                    out[f'GS_{i+1}'] = np.zeros((n, th, tw, 3), np.uint8)
 
         if len(nonempty) == 0:
             return out
 
         x_all = tiles_u8[nonempty]  # normalization happens on device
-        use_seg_only = (seg_only and self.d.seg_gen and not mod_only
-                        and not return_intermediate and self.d.uniform_g
-                        and self.d.uniform_gs)
+        use_seg_only = (self.family == 'deepliif' and seg_only and seg_gen
+                        and not mod_only and not return_intermediate
+                        and self.d.uniform_g and self.d.uniform_gs)
         fwd = self._forward(tuple(seg_weights) if seg_weights is not None else None,
                             return_intermediate and self.d.seg_gen and not mod_only,
                             seg_only=use_seg_only)
@@ -188,16 +266,17 @@ class InferenceSession:
             idx = nonempty[pos:pos + valid]
             if 'mods' in res:
                 mods = np.asarray(res['mods'])  # (M, b, s, s, 3) uint8
-                for i in range(m):
-                    out[f'G{i+1}'][idx] = mods[i][:valid]
+                for i, mk in enumerate(mod_keys):
+                    out[mk][idx] = mods[i][:valid]
             elif 'marker' in res and marker_idx is not None:
-                out[f'G{marker_idx+1}'][idx] = np.asarray(res['marker'])[:valid]
+                out[mod_keys[marker_idx]][idx] = np.asarray(res['marker'])[:valid]
             if 'seg' in res and not mod_only:
                 out['GS'][idx] = np.asarray(res['seg'])[:valid]
             if 'segs' in res and not mod_only:
                 segs = np.asarray(res['segs'])
                 for i in range(segs.shape[0]):
-                    out[f'GS{i}'][idx] = segs[i][:valid]
+                    k = f'GS{i}' if self.family == 'deepliif' else f'GS_{i+1}'
+                    out[k][idx] = segs[i][:valid]
             pos += valid
         return out
 
@@ -260,13 +339,19 @@ def inference(img, tile_size, overlap_size, model_path, use_torchserve=False,
     tiler = InferenceTiler(orig, tile_size, overlap_size)
     tiles = tiler.tiles()
 
-    if tiles.shape[1] != scale_size:
-        rs = [np.asarray(Image.fromarray(t).resize((scale_size, scale_size),
-                                                   Image.BICUBIC))
-              for t in tiles]
-        net_in = np.stack(rs)
+    def _resize(batch):
+        if batch.shape[1] == scale_size:
+            return batch
+        return np.stack([
+            np.asarray(Image.fromarray(t).resize((scale_size, scale_size),
+                                                 Image.BICUBIC))
+            for t in batch])
+
+    if isinstance(tiles, list):
+        # multi-input (SDG): channel-concat the input modalities per tile
+        net_in = np.concatenate([_resize(t) for t in tiles], axis=-1)
     else:
-        net_in = tiles
+        net_in = _resize(tiles)
 
     results_net = session.run_tiles(net_in, seg_weights=seg_weights,
                                     seg_only=seg_only, mod_only=mod_only,
@@ -283,6 +368,17 @@ def inference(img, tile_size, overlap_size, model_path, use_torchserve=False,
 
     # ---- output naming (parity with reference models/__init__.py:502-565)
     m = opt.modalities_no
+    if opt.model == 'DeepLIIFExt':
+        images = {f'mod{i}': results[f'G_{i}'] for i in range(1, m + 1)}
+        if getattr(opt, 'seg_gen', True) and not mod_only:
+            images.update({f'Seg{i}': results[f'GS_{i}']
+                           for i in range(1, m + 1) if f'GS_{i}' in results})
+        return images
+    if opt.model == 'SDG':
+        return {f'mod{i}': results[f'G_{i}'] for i in range(1, m + 1)}
+    if opt.model == 'CycleGAN':
+        return results  # default net-name keys (reference behavior)
+
     input_no = getattr(opt, 'input_no', 1)
     modality_names = getattr(opt, 'modalities_names',
                              [f'mod{i}' for i in range(m + 1)])

@@ -270,6 +270,76 @@ def import_deepliif_dir(model_dir, opt, epoch='latest'):
     return params
 
 
+def _import_named_generators(model_dir, names, archs, norm, use_dropout,
+                             padding, upsample, epoch='latest'):
+    from ..nets import layers as L
+    out = []
+    for name, arch in zip(names, archs):
+        f = find_net_file(model_dir, name, epoch)
+        if f is None:
+            raise FileNotFoundError(f'missing checkpoint for {name} in {model_dir}')
+        out.append(import_generator(load_state_dict(f), arch, norm,
+                                    use_dropout, padding, upsample))
+    return (L.tree_stack(_as_jnp(out)) if len(set(archs)) == 1
+            else _as_jnp(out))
+
+
+def import_ext_dir(model_dir, opt, epoch='latest'):
+    """Import a DeepLIIFExt model dir: nets G_1..G_m + GS_1..GS_m
+    (reference net naming, DeepLIIFExt_model.py:56-71)."""
+    m = opt.modalities_no
+    net_g = getattr(opt, 'netG', getattr(opt, 'net_g', 'resnet_9blocks'))
+    if isinstance(net_g, str):
+        net_g = [net_g] * m
+    net_gs = getattr(opt, 'net_gs', 'unet_512')
+    if isinstance(net_gs, str):
+        net_gs = [net_gs] * m
+    norm = getattr(opt, 'norm', 'batch')
+    dropout = not getattr(opt, 'no_dropout', False)
+    params = {'G': _import_named_generators(
+        model_dir, [f'G_{i}' for i in range(1, m + 1)], net_g, norm, dropout,
+        getattr(opt, 'padding', 'zero'), 'convtranspose', epoch)}
+    if getattr(opt, 'seg_gen', True):
+        params['GS'] = _import_named_generators(
+            model_dir, [f'GS_{i}' for i in range(1, m + 1)], net_gs, norm,
+            dropout, 'reflect', 'convtranspose', epoch)
+    return params
+
+
+def import_sdg_dir(model_dir, opt, epoch='latest'):
+    m = opt.modalities_no
+    net_g = getattr(opt, 'netG', getattr(opt, 'net_g', 'resnet_9blocks'))
+    if isinstance(net_g, str):
+        net_g = [net_g] * m
+    return {'G': _import_named_generators(
+        model_dir, [f'G_{i}' for i in range(1, m + 1)], net_g,
+        getattr(opt, 'norm', 'batch'), not getattr(opt, 'no_dropout', False),
+        getattr(opt, 'padding', 'zero'),
+        getattr(opt, 'upsample', 'convtranspose'), epoch)}
+
+
+def import_cyclegan_dir(model_dir, opt, epoch='latest'):
+    """Import GA_i / GB_i generators; only the direction present on disk is
+    required (test dirs may ship a single direction)."""
+    m = opt.modalities_no
+    net_g = getattr(opt, 'netG', getattr(opt, 'net_g', 'resnet_9blocks'))
+    if isinstance(net_g, str):
+        net_g = [net_g] * m
+    norm = getattr(opt, 'norm', 'batch')
+    dropout = not getattr(opt, 'no_dropout', False)
+    params = {}
+    for prefix in ('GA', 'GB'):
+        names = [f'{prefix}_{i}' for i in range(1, m + 1)]
+        if all(find_net_file(model_dir, n, epoch) for n in names):
+            params[prefix] = _import_named_generators(
+                model_dir, names, net_g, norm, dropout,
+                getattr(opt, 'padding', 'zero'),
+                getattr(opt, 'upsample', 'convtranspose'), epoch)
+    if not params:
+        raise FileNotFoundError(f'no GA_*/GB_* checkpoints in {model_dir}')
+    return params
+
+
 def _as_jnp(tree):
     import jax
     import jax.numpy as jnp
