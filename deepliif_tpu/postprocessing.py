@@ -64,6 +64,38 @@ def imadjust(x, gamma=0.7, c=0, d=1):
     return (((x - a) / (b - a)) ** gamma) * (d - c) + c
 
 
+def adjust_dapi(inferred_tile, orig_tile):
+    """Adjust inferred DAPI intensity to the original tile's statistics
+    (ref :26-51)."""
+    inferred = np.asarray(inferred_tile)
+    orig = np.asarray(orig_tile)
+    multiplier = 8 / math.log(max(np.max(orig), 2))
+    if np.mean(orig) < 200:
+        gamma = multiplier * math.log(max(np.mean(inferred), 2)) / \
+            math.log(max(np.mean(orig), 2))
+    else:
+        gamma = multiplier
+    out = imadjust(inferred.astype(float), gamma=gamma, c=5, d=255).astype(np.uint8)
+    from PIL import Image
+    return Image.fromarray(out)
+
+
+def adjust_marker(inferred_tile, orig_tile):
+    """Adjust inferred marker intensity (ref :54-79; uses std instead of
+    mean for the gamma ratio)."""
+    inferred = np.asarray(inferred_tile)
+    orig = np.asarray(orig_tile)
+    multiplier = 8 / math.log(max(np.max(orig), 2))
+    if np.mean(orig) < 200:
+        gamma = multiplier * math.log(max(np.std(inferred), 2)) / \
+            math.log(max(np.std(orig), 2))
+    else:
+        gamma = multiplier
+    out = imadjust(inferred.astype(float), gamma=gamma, c=5, d=255).astype(np.uint8)
+    from PIL import Image
+    return Image.fromarray(out)
+
+
 def to_array(img, grayscale=False):
     from PIL import Image
     if isinstance(img, Image.Image):

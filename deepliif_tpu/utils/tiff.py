@@ -50,8 +50,28 @@ def _tile_grid(h, w, tile=TILE):
     return ty, tx
 
 
+IMAGE_DESCRIPTION = 270
+
+
+def make_ome_xml(size_x, size_y, channel_names=None, size_c=3,
+                 pixel_type='uint8'):
+    """Minimal OME-XML ImageDescription (the reference embeds OME metadata
+    via tifffile/bioformats, util/__init__.py:793-914)."""
+    channel_names = channel_names or []
+    channels = ''.join(
+        f'<Channel ID="Channel:0:{i}" Name="{nm}" SamplesPerPixel="1"/>'
+        for i, nm in enumerate(channel_names))
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+        '<Image ID="Image:0"><Pixels ID="Pixels:0" DimensionOrder="XYCZT" '
+        f'Type="{pixel_type}" SizeX="{size_x}" SizeY="{size_y}" '
+        f'SizeC="{max(size_c, len(channel_names) or 1)}" SizeZ="1" SizeT="1">'
+        f'{channels}</Pixels></Image></OME>')
+
+
 def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
-                       compression=True):
+                       compression=True, channel_names=None):
     """Write an HxWx3 uint8 canvas as a pyramidal tiled BigTIFF."""
     canvas = np.ascontiguousarray(canvas, np.uint8)
     if canvas.ndim == 2:
@@ -93,6 +113,12 @@ def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
             fh.write(struct.pack(f'<{len(offsets)}Q', *offsets))
             cnt_arr_off = fh.tell()
             fh.write(struct.pack(f'<{len(counts)}Q', *counts))
+            desc_off = desc_len = 0
+            if page_idx == 0 and channel_names:
+                desc = make_ome_xml(w, h, channel_names).encode() + b'\x00'
+                desc_off = fh.tell()
+                desc_len = len(desc)
+                fh.write(desc)
 
             entries = []
 
@@ -101,6 +127,8 @@ def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
 
             if page_idx > 0:
                 entry(NEW_SUBFILE_TYPE, TYPE_LONG, 1, 1)
+            if desc_len:
+                entry(IMAGE_DESCRIPTION, 2, desc_len, desc_off)  # type ASCII
             entry(IMAGE_WIDTH, TYPE_LONG, 1, w)
             entry(IMAGE_LENGTH, TYPE_LONG, 1, h)
             entry(BITS_PER_SAMPLE, TYPE_SHORT, 3, bps_off)
