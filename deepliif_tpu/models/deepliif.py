@@ -63,6 +63,9 @@ class DeepLIIFDef:
     init_gain: float = 0.02
     replicate_seg_weight_quirk: bool = False
     dtype: Any = None                 # compute dtype for inference (None=f32)
+    remat: bool = True                # rematerialize per-net activations in
+                                      # training (512^2 flagship bwd does not
+                                      # fit 16GB HBM without it)
 
     @property
     def uniform_g(self):
@@ -207,8 +210,12 @@ def generator_forward(params, x, d: DeepLIIFDef, *, train=False, rng=None,
     if d.uniform_g:
         net = _g_net(d, d.net_g[0])
         if mod_rngs is not None:
-            mods = jax.vmap(lambda p, r: net.apply(p, x, train=True, rng=r))(
-                params['G'], mod_rngs)
+            g_apply = lambda p, r: net.apply(p, x, train=True, rng=r)
+            if d.remat:
+                # store only net-boundary activations; backward recomputes
+                # inside each net (the 512^2 flagship backward OOMs otherwise)
+                g_apply = jax.checkpoint(g_apply)
+            mods = jax.vmap(g_apply)(params['G'], mod_rngs)
         else:
             mods = jax.vmap(lambda p: net.apply(p, x))(params['G'])
     else:
@@ -226,8 +233,10 @@ def generator_forward(params, x, d: DeepLIIFDef, *, train=False, rng=None,
     if d.uniform_gs:
         net = _gs_net(d, d.net_gs[0])
         if seg_rngs is not None:
-            segs = jax.vmap(lambda p, xi, r: net.apply(p, xi, train=True, rng=r))(
-                params['GS'], seg_in, seg_rngs)
+            gs_apply = lambda p, xi, r: net.apply(p, xi, train=True, rng=r)
+            if d.remat:
+                gs_apply = jax.checkpoint(gs_apply)
+            segs = jax.vmap(gs_apply)(params['GS'], seg_in, seg_rngs)
         else:
             segs = jax.vmap(lambda p, xi: net.apply(p, xi))(params['GS'], seg_in)
     else:
@@ -372,7 +381,10 @@ def _d_pred_mods(d_params, x, imgs, d: DeepLIIFDef):
     dnet = _d_net(d)
     cond = jnp.concatenate([
         jnp.broadcast_to(x[None], (d.modalities_no,) + x.shape), imgs], axis=-1)
-    return jax.vmap(lambda p, c: dnet.apply(p, c))(d_params, cond)
+    apply = lambda p, c: dnet.apply(p, c)
+    if d.remat:
+        apply = jax.checkpoint(apply)
+    return jax.vmap(apply)(d_params, cond)
 
 
 def _d_pred_seg(ds_params, x, real_mods, seg, d: DeepLIIFDef):
@@ -384,7 +396,10 @@ def _d_pred_seg(ds_params, x, real_mods, seg, d: DeepLIIFDef):
     conds = jnp.concatenate([x[None], real_mods], axis=0)  # (M+1,B,H,W,C)
     seg_b = jnp.broadcast_to(seg[None], conds.shape)
     inp = jnp.concatenate([conds, seg_b], axis=-1)
-    preds = jax.vmap(lambda p, c: dnet.apply(p, c))(ds_params, inp)
+    apply = lambda p, c: dnet.apply(p, c)
+    if d.remat:
+        apply = jax.checkpoint(apply)
+    preds = jax.vmap(apply)(ds_params, inp)
     w = jnp.asarray(d.seg_weights, preds.dtype)
     return jnp.tensordot(w, preds, axes=1)
 
@@ -431,8 +446,10 @@ def g_loss_fn(g_params, d_params, batch, d: DeepLIIFDef, vgg_params, rng):
     pred_fake = _d_pred_mods(d_params['D'], x, mods, d)
     l_gan = jax.vmap(lambda p: losses.gan_loss(p, True, d.gan_mode))(pred_fake)
     l_l1 = jax.vmap(losses.smooth_l1)(mods, real_mods) * d.lambda_l1
-    l_vgg = jax.vmap(lambda a, b: vgg.vgg_loss(vgg_params, a, b))(
-        mods, real_mods) * d.lambda_feat
+    vgg_fn = lambda a, b: vgg.vgg_loss(vgg_params, a, b)
+    if d.remat:
+        vgg_fn = jax.checkpoint(vgg_fn)
+    l_vgg = jax.vmap(vgg_fn)(mods, real_mods) * d.lambda_feat
     loss = ((l_gan + l_l1 + l_vgg) * w_g[:m]).sum()
     terms['G_GAN'] = l_gan
     terms['G_L1'] = l_l1

@@ -110,11 +110,28 @@ def infer_results_for_wsi(input_dir, filename, output_dir, model_dir,
     canvases = {}
     scoring_total = {'num_total': 0, 'num_pos': 0, 'num_neg': 0}
 
-    for ry in range(0, size_y, region_size):
-        for rx in range(0, size_x, region_size):
-            rw = min(region_size, size_x - rx)
-            rh = min(region_size, size_y - ry)
-            region = reader.read_region(rx, ry, rw, rh)
+    # double-buffered region reads: the next region loads on a worker thread
+    # while the current one runs inference (host IO overlaps device compute)
+    import queue
+    import threading
+    coords = [(rx, ry, min(region_size, size_x - rx), min(region_size, size_y - ry))
+              for ry in range(0, size_y, region_size)
+              for rx in range(0, size_x, region_size)]
+    q = queue.Queue(maxsize=2)
+
+    def _producer():
+        for c in coords:
+            q.put((c, reader.read_region(*c)))
+        q.put(None)
+
+    threading.Thread(target=_producer, daemon=True).start()
+
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        (rx, ry, rw, rh), region = item
+        if True:
             img = Image.fromarray(region)
             images, scoring = infer_modalities(img, tile_size, model_dir,
                                                opt=session.opt,
