@@ -351,6 +351,24 @@ def test_wsi(input_dir, filename, output_dir, tile_size, model_dir,
                           tile_size, region_size, seg_only=seg_only)
 
 
+@cli.command(name='wsi-cells')
+@click.option('--input-dir', required=True)
+@click.option('--filename', required=True)
+@click.option('--output-dir', required=True)
+@click.option('--tile-size', type=click.IntRange(min=1), required=True)
+@click.option('--model-dir', default='./model-server/DeepLIIF_Latest_Model/')
+@click.option('--region-size', default=20000, type=int)
+@click.option('--version', default=4, type=click.Choice(['3', '4', '5', '6']))
+def wsi_cells(input_dir, filename, output_dir, tile_size, model_dir,
+              region_size, version):
+    """Per-cell encoded data for a WSI (global coordinates, averaged
+    auto-thresholds) — the reference infer_cells_for_wsi path."""
+    from .utils.wsi import infer_cells_for_wsi
+    results = infer_cells_for_wsi(input_dir, filename, output_dir, model_dir,
+                                  tile_size, region_size, version=int(version))
+    click.echo(f'{len(results["cells"])} cells -> {output_dir}')
+
+
 # ---------------------------------------------------------------------------
 # data preparation
 # ---------------------------------------------------------------------------

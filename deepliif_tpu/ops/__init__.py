@@ -1,5 +1,8 @@
 """Device-side (XLA / Pallas) compute ops beyond the network zoo:
-connected-component labeling, on-device cell counting, overlay rendering."""
+connected-component labeling, on-device cell counting, auto thresholds,
+overlay rendering."""
 
-from .labeling import (label_components, flood_background, posneg_mask,
-                       quantify, overlay_images, label_components_pallas)
+from .labeling import (auto_marker_threshold, auto_size_threshold,
+                       flood_background, label_components,
+                       label_components_pallas, overlay_images, posneg_mask,
+                       quantify)

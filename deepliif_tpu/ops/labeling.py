@@ -160,6 +160,62 @@ def quantify(seg_u8, marker_u8=None, seg_thresh=120, noise_thresh=4,
     }
 
 
+def auto_size_threshold(sizes, resolution='40x'):
+    """Device version of calculate_default_size_threshold (host ref
+    postprocessing.py:406-447): Gaussian KDE over sqrt cell sizes as one
+    broadcast matmul, first strict local minimum, resolution clamping.
+
+    sizes: dense (n,) int array where entries <= 0 mark non-cells.
+    Returns an int32 scalar (0 when fewer than 2 cells).
+    """
+    valid = sizes > 0
+    n_cells = valid.sum()
+    vals = jnp.sqrt(jnp.where(valid, sizes, 0).astype(jnp.float32))
+    max_value = vals.max() + 1.0
+    step = max_value / 500.0
+    x = jnp.arange(500, dtype=jnp.float32) * step
+    z = x[:, None] - vals[None, :]
+    contrib = jnp.exp(-(z * z) / 2.0) * valid[None, :]
+    kde = contrib.sum(axis=1) / (jnp.sqrt(2 * jnp.pi) * jnp.maximum(n_cells, 1))
+
+    interior_min = (kde[1:-1] < kde[:-2]) & (kde[1:-1] < kde[2:])
+    any_min = interior_min.any()
+    first = jnp.argmax(interior_min) + 1
+    idx = jnp.where(any_min, first, 1)
+    thresh_sqrt = (idx - 1).astype(jnp.float32) * step
+
+    lo, mid, hi = {'40x': (4., 7., 10.), '20x': (3., 4., 6.),
+                   '10x': (2., 2., 3.)}.get(resolution, (4., 7., 10.))
+    thresh_sqrt = jnp.where(thresh_sqrt < lo, lo,
+                            jnp.where(thresh_sqrt > hi, mid, thresh_sqrt))
+    out = jnp.round(thresh_sqrt * thresh_sqrt).astype(jnp.int32)
+    return jnp.where(n_cells > 1, out, 0)
+
+
+def auto_marker_threshold(marker_u8):
+    """Device version of calculate_default_marker_threshold (host ref
+    :450-488): 90% of the 0.1-99.9 percentile range of nonzero pixels."""
+    flat = marker_u8.reshape(-1).astype(jnp.float32)
+    nz = flat > 0
+    count = nz.sum()
+    # percentiles over nonzero values via a masked sort (zeros sort first)
+    s = jnp.sort(jnp.where(nz, flat, -1.0))
+    start = flat.size - count  # first nonzero position
+
+    def pct(q):
+        # linear-interpolated percentile like np.percentile
+        pos = start + (count - 1) * (q / 100.0)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.ceil(pos).astype(jnp.int32)
+        frac = pos - lo
+        return s[lo] * (1 - frac) + s[hi] * frac
+
+    lo = jnp.round(pct(0.1))
+    hi = jnp.round(pct(99.9))
+    thresh = jnp.round((hi - lo) * 0.9) + lo
+    return jnp.where(count > 0, thresh, 0.0).astype(jnp.int32)
+
+
 def overlay_images(orig_u8, cls):
     """Device version of boundary drawing + create_final_images: borders are
     background pixels 4-adjacent to cells, dilated twice (8-conn)."""

@@ -89,3 +89,27 @@ def test_pallas_labeling_interpret_matches():
     ref = np.asarray(label_components(jnp.asarray(fg)))
     pal = np.asarray(label_components_pallas(jnp.asarray(fg), interpret=True))
     np.testing.assert_array_equal(ref, pal)
+
+
+def test_device_auto_thresholds_match_host():
+    from deepliif_tpu.ops.labeling import (auto_marker_threshold,
+                                           auto_size_threshold)
+    import os
+    src = '/root/reference/Datasets/Sample_Dataset/val'
+    if os.path.isdir(src):
+        img = Image.open(os.path.join(src, 'Lung1.png'))
+        w, h = img.size
+        gt = img.crop((w - h, 0, w, h))
+        mask, cells, lab, defaults = pp.get_cells_info(gt, None, '40x', 4, 150,
+                                                       16000)
+        sizes = np.zeros(512 * 512 + 1, np.int32)
+        for i, c in enumerate(cells, start=1):
+            sizes[i] = c[0]
+        dev = int(auto_size_threshold(jnp.asarray(sizes), '40x'))
+        assert dev == defaults['size_thresh'] == 78
+    rng = np.random.default_rng(0)
+    mk = rng.integers(0, 255, (200, 200)).astype(np.uint8)
+    mk[rng.random((200, 200)) < 0.3] = 0
+    host = pp.calculate_default_marker_threshold(mk)
+    dev = int(auto_marker_threshold(jnp.asarray(mk)))
+    assert abs(host - dev) <= 1
