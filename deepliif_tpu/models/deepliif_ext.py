@@ -143,7 +143,8 @@ def generator_forward(params, x, d: DeepLIIFExtDef, *, train=False, rng=None):
 
     net = _g_net(d, d.net_g[0])
     if mod_rngs is not None:
-        mods = jax.vmap(lambda p, r: net.apply(p, x, train=True, rng=r))(
+        mods = jax.vmap(jax.checkpoint(
+            lambda p, r: net.apply(p, x, train=True, rng=r)))(
             params['G'], mod_rngs)
     else:
         mods = jax.vmap(lambda p: net.apply(p, x))(params['G'])
@@ -157,7 +158,8 @@ def generator_forward(params, x, d: DeepLIIFExtDef, *, train=False, rng=None):
     seg_in = jnp.concatenate([xb, base, mods], axis=-1)  # (M,B,H,W,9)
     gs = _gs_net(d, d.net_gs[0])
     if seg_rngs is not None:
-        segs = jax.vmap(lambda p, xi, r: gs.apply(p, xi, train=True, rng=r))(
+        segs = jax.vmap(jax.checkpoint(
+            lambda p, xi, r: gs.apply(p, xi, train=True, rng=r)))(
             params['GS'], seg_in, seg_rngs)
     else:
         segs = jax.vmap(lambda p, xi: gs.apply(p, xi))(params['GS'], seg_in)

@@ -56,14 +56,16 @@ def student_forward_with_branches(g_params, x, d: dl.DeepLIIFDef, rng):
         seg_rngs = jax.random.split(r2, m + 1)
     net = dl._g_net(d, d.net_g[0])
     if rng is not None:
-        mods = jax.vmap(lambda p, r: net.apply(p, x, train=True, rng=r))(
+        mods = jax.vmap(jax.checkpoint(
+            lambda p, r: net.apply(p, x, train=True, rng=r)))(
             g_params['G'], mod_rngs)
     else:
         mods = jax.vmap(lambda p: net.apply(p, x))(g_params['G'])
     seg_in = jnp.concatenate([x[None].astype(mods.dtype), mods], axis=0)
     gs = dl._gs_net(d, d.net_gs[0])
     if rng is not None:
-        segs = jax.vmap(lambda p, xi, r: gs.apply(p, xi, train=True, rng=r))(
+        segs = jax.vmap(jax.checkpoint(
+            lambda p, xi, r: gs.apply(p, xi, train=True, rng=r)))(
             g_params['GS'], seg_in, seg_rngs)
     else:
         segs = jax.vmap(lambda p, xi: gs.apply(p, xi))(g_params['GS'], seg_in)

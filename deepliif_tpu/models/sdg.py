@@ -98,7 +98,8 @@ def generator_forward(params, x, d: SDGDef, *, train=False, rng=None):
     net = _g_net(d)
     if train and rng is not None:
         rngs = jax.random.split(rng, d.modalities_no)
-        return jax.vmap(lambda p, r: net.apply(p, x, train=True, rng=r))(
+        return jax.vmap(jax.checkpoint(
+            lambda p, r: net.apply(p, x, train=True, rng=r)))(
             params['G'], rngs), None
     return jax.vmap(lambda p: net.apply(p, x))(params['G']), None
 
