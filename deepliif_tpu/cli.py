@@ -190,9 +190,6 @@ def serialize(model_dir, output_dir, do_verify):
     serialized model's output on a blank tile must match the source within
     sum|diff| <= 10 over a 512x512x3 tile in uint8 scale.
     """
-    import jax
-    import jax.numpy as jnp
-    from .models import deepliif as dl
     from .models import InferenceSession
     from .utils import checkpoints
 
@@ -209,16 +206,19 @@ def serialize(model_dir, output_dir, do_verify):
     click.echo(f'serialized networks -> {output_dir}')
 
     if do_verify:
-        like = session.params
-        reloaded = checkpoints.load_networks(output_dir, like)
+        import numpy as np
         size = getattr(session.opt, 'scale_size', 512)
-        x = jnp.zeros((1, size, size, 3), jnp.float32)
-        fwd = jax.jit(lambda p, x: dl.generator_forward(p, x, session.d))
-        m1, s1 = fwd(session.params, x)
-        m2, s2 = fwd(reloaded, x)
-        diff = float(jnp.abs(m1 - m2).sum() + jnp.abs(s1 - s2).sum()) * 127.5
+        nc = 3 * getattr(session.opt, 'input_no', 1)
+        rng = np.random.default_rng(0)
+        tile = rng.integers(0, 255, (1, size, size, nc), np.uint8)
+        reloaded = InferenceSession(output_dir)
+        out1 = session.run_tiles(tile)
+        out2 = reloaded.run_tiles(tile)
+        diff = sum(float(np.abs(out1[k].astype(np.int64)
+                                - out2[k].astype(np.int64)).sum())
+                   for k in out1)
         assert diff <= 10, f'serialized-vs-original parity failed: {diff}'
-        click.echo(f'parity check passed (sum|diff| = {diff:.4f} <= 10)')
+        click.echo(f'parity check passed (sum|diff| = {diff:.1f} <= 10)')
 
 
 # ---------------------------------------------------------------------------
