@@ -105,6 +105,8 @@ def cli():
 @click.option('--model-dir-teacher', default=None,
               help='teacher model dir (required for DeepLIIFKD)')
 @click.option('--pool-size', default=50, type=int, help='CycleGAN image pool size')
+@click.option('--monitor-image', default=None,
+              help='only display visuals for rows whose path ends with this')
 def train(**kwargs):
     """Train a model (single chip or data-parallel over all local devices)."""
     d_params = dict(TRAIN_DEFAULTS)

@@ -228,7 +228,10 @@ def train_model(opt):
                 visualizer.plot_current_losses(
                     epoch, epoch_iter / max(1, len(dataset)), m)
 
-            if total_iters % display_freq == 0:
+            monitor = getattr(opt, 'monitor_image', None)
+            display_now = (total_iters % display_freq == 0 if monitor is None
+                           else data['A_paths'][0].endswith(monitor))
+            if display_now:
                 vis = {'real_A': np.asarray(data['A'][0][..., :3])}
                 mods = np.asarray(g_out['mods'])
                 for i in range(mods.shape[0]):
