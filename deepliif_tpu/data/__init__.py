@@ -32,13 +32,26 @@ def create_dataset(opt, phase='train'):
         ds = UnalignedDataset(opt, phase)
     else:
         ds = AlignedDataset(opt, phase)
+
+    # multi-host default: stride the index space by process (the
+    # DistributedSampler equivalent); explicit opt.rank/world_size wins
+    rank = getattr(opt, 'rank', None)
+    world = getattr(opt, 'world_size', None)
+    if rank is None or world is None:
+        try:
+            import jax
+            rank = jax.process_index() if rank is None else rank
+            world = jax.process_count() if world is None else world
+        except Exception:
+            rank, world = rank or 0, world or 1
+
     return Loader(
         ds,
         batch_size=getattr(opt, 'batch_size', 1),
         shuffle=(phase == 'train') and not getattr(opt, 'serial_batches', False),
         seed=getattr(opt, 'seed', None),
-        rank=getattr(opt, 'rank', 0),
-        world_size=getattr(opt, 'world_size', 1),
+        rank=rank,
+        world_size=world,
         num_workers=getattr(opt, 'num_threads', 2),
         max_dataset_size=getattr(opt, 'max_dataset_size', None),
     )

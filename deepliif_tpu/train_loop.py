@@ -327,11 +327,17 @@ def _train_cyclegan(opt):
     return state, metrics
 
 
-def _save_state(save_dir, state, suffix, remote_transfer_cmd=None):
+def _save_state(save_dir, state, suffix, remote_transfer_cmd=None,
+                checkpoint_format='npz'):
     params = {}
     params.update(state.g_params)
     params.update(state.d_params)
     checkpoints.save_networks(save_dir, params, suffix)
+    if checkpoint_format == 'orbax':
+        try:
+            checkpoints.save_networks_orbax(save_dir, params, suffix)
+        except Exception as e:
+            print(f'orbax checkpoint failed ({e}); npz checkpoint written')
     optim_path = os.path.join(save_dir, f'{suffix}_optim.npz')
     checkpoints.save_pytree(optim_path,
                             {'g': state.g_opt_state, 'd': state.d_opt_state,
