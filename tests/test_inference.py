@@ -97,3 +97,35 @@ def test_seg_intermediate_outputs(model_dir):
     assert len(inter) == 3, sorted(images)  # M+1 branches
     for k in inter:
         assert images[k].size == img.size
+
+
+def test_run_to_run_consistency_contract(model_dir):
+    """Reference contract: repeated runs must satisfy 1-SSIM < 0.0003
+    (tests/test_cli_inference.py:8). Jitted XLA is deterministic, so we
+    assert exact byte equality — strictly stronger."""
+    from deepliif_tpu.models import inference
+    img = _sample_img(90, 70)
+    r1 = inference(img, tile_size=64, overlap_size=4, model_path=model_dir)
+    r2 = inference(img, tile_size=64, overlap_size=4, model_path=model_dir)
+    for k in r1:
+        np.testing.assert_array_equal(np.asarray(r1[k]), np.asarray(r2[k]))
+
+
+def test_serialized_vs_eager_consistency(model_dir, tmp_path):
+    """Eager (original dir) vs serialized artifact outputs are identical
+    (reference gate: 1-SSIM < 0.0003; serialize parity sum|diff| <= 10)."""
+    from deepliif_tpu.models import InferenceSession
+    from deepliif_tpu.utils import checkpoints as ck
+    import shutil
+    ser = tmp_path / 'ser'
+    ser.mkdir()
+    src = InferenceSession(model_dir)
+    ck.save_networks(str(ser), src.params)
+    shutil.copy(os.path.join(model_dir, 'config.json'), ser / 'config.json')
+    dst = InferenceSession(str(ser))
+    rng = np.random.default_rng(0)
+    tile = rng.integers(0, 255, (1, 64, 64, 3), np.uint8)
+    o1 = src.run_tiles(tile)
+    o2 = dst.run_tiles(tile)
+    for k in o1:
+        np.testing.assert_array_equal(o1[k], o2[k])
