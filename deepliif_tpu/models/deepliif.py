@@ -539,6 +539,12 @@ def make_train_step_body(d: DeepLIIFDef, g_tx, d_tx, vgg_params):
                                              state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
 
+        if d.norm == 'spectral':
+            # persist the power-iteration vectors (torch keeps u as a
+            # buffer updated each forward; we refresh it once per step)
+            _, g_params = L.spectral_normalize_tree(g_params)
+            _, d_params = L.spectral_normalize_tree(d_params)
+
         new_state = TrainState(g_params, d_params, g_opt_state, d_opt_state,
                                state.step + 1)
         metrics = {'loss_G': g_loss, 'loss_D': d_loss, **g_terms, **d_terms}
