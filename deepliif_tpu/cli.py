@@ -58,6 +58,9 @@ def cli():
 @click.option('--model', default='DeepLIIF',
               type=click.Choice(['DeepLIIF', 'DeepLIIFExt', 'SDG', 'CycleGAN', 'DeepLIIFKD']))
 @click.option('--modalities-no', default=4, type=int, help='number of targets')
+@click.option('--input-no', default=1, type=int,
+              help='number of input modalities (SDG multi-input)')
+@click.option('--seg-no', default=1, type=int, help='number of seg tiles per row')
 @click.option('--seg-gen', default=True, type=bool, help='enable segmentation generators')
 @click.option('--net-g', default='resnet_9blocks', help='generator architecture')
 @click.option('--net-gs', default='unet_512', help='segmentation generator architecture')

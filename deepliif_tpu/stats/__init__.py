@@ -249,7 +249,7 @@ def frechet_distance(feats_a, feats_b, eps=1e-6):
     s1 = np.cov(feats_a, rowvar=False)
     s2 = np.cov(feats_b, rowvar=False)
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(s1 @ s2, disp=False)
+    covmean = linalg.sqrtm(s1 @ s2)
     if not np.isfinite(covmean).all():
         offset = np.eye(s1.shape[0]) * eps
         covmean = linalg.sqrtm((s1 + offset) @ (s2 + offset))
