@@ -76,7 +76,7 @@ TRAIN_DEFAULTS = dict(
     # TPU-native additions
     precision='float32',        # float32 | bfloat16 for the compute path
     mesh_shape=None,            # e.g. {'data': 8}; None = all local devices on 'data'
-    checkpoint_format='orbax',  # orbax | npz
+    checkpoint_format='npz',  # npz | orbax (orbax mirrors npz saves)
 )
 
 # Legacy modality names for the flagship 4-modality model
@@ -207,8 +207,10 @@ class Options:
 
             if getattr(self, 'modalities_no', None) == 4 and not hasattr(self, 'modalities_names'):
                 self.modalities_names = list(DEFAULT_MODALITY_NAMES)
-                if not hasattr(self, 'seg_weights'):
-                    self.seg_weights = [0.5, 0, 0, 0, 0.5]
+                # the reference overwrites seg_weights unconditionally here
+                # (options/__init__.py:110-113) — legacy 4-modality dirs
+                # without modalities_names infer with IHC+Marker only
+                self.seg_weights = [0.5, 0, 0, 0, 0.5]
             if not hasattr(self, 'modalities_names') or len(self.modalities_names) == 0:
                 self.modalities_names = (
                     [f'input{i+1}' for i in range(getattr(self, 'input_no', 1))]

@@ -66,10 +66,12 @@ class InferenceSession:
       CycleGAN:    GA_1..GA_m (or GB_* with BtoA)
     """
 
-    def __init__(self, model_dir, opt=None, phase='test', max_batch=16):
+    def __init__(self, model_dir, opt=None, phase='test', max_batch=16,
+                 epoch='latest'):
         self.model_dir = model_dir
         self.opt = opt if opt is not None else get_opt(model_dir, mode=phase)
         self.max_batch = max_batch
+        self.epoch = str(epoch)
         self.model = getattr(self.opt, 'model', 'DeepLIIF')
         if self.model in ('DeepLIIF', 'DeepLIIFKD'):
             self.family = 'deepliif'
@@ -105,23 +107,24 @@ class InferenceSession:
 
     def _load_params(self, model_dir):
         from ..utils import checkpoints, torch_import
-        if checkpoints.has_native_checkpoint(model_dir):
+        ep = self.epoch
+        if checkpoints.has_native_checkpoint(model_dir, ep):
             # structure-only init: eval_shape skips all computation
             like = jax.eval_shape(self._init_like(), jax.random.PRNGKey(0))
             if self.family == 'cyclegan':
                 # a test dir may ship only one direction
                 like = {k: v for k, v in like.items()
                         if os.path.exists(os.path.join(model_dir,
-                                                       f'latest_net_{k}.npz'))}
-            return checkpoints.load_networks(model_dir, like)
+                                                       f'{ep}_net_{k}.npz'))}
+            return checkpoints.load_networks(model_dir, like, ep)
         # torch-era model dir
         if self.family == 'deepliif':
-            return torch_import.import_deepliif_dir(model_dir, self.opt)
+            return torch_import.import_deepliif_dir(model_dir, self.opt, ep)
         if self.family == 'ext':
-            return torch_import.import_ext_dir(model_dir, self.opt)
+            return torch_import.import_ext_dir(model_dir, self.opt, ep)
         if self.family == 'sdg':
-            return torch_import.import_sdg_dir(model_dir, self.opt)
-        return torch_import.import_cyclegan_dir(model_dir, self.opt)
+            return torch_import.import_sdg_dir(model_dir, self.opt, ep)
+        return torch_import.import_cyclegan_dir(model_dir, self.opt, ep)
 
     def _marker_index(self):
         names = getattr(self.opt, 'modalities_names', []) or []
@@ -131,11 +134,17 @@ class InferenceSession:
                 return i
         return None
 
-    def _forward(self, seg_weights, intermediate=False, seg_only=False):
+    def _forward(self, seg_weights, intermediate=False, seg_only=False,
+                 mod_only=False):
         key = (tuple(seg_weights) if seg_weights is not None else None,
-               intermediate, seg_only)
+               intermediate, seg_only, mod_only)
         if key not in self._jitted:
+            import dataclasses
             d = self.d
+            if mod_only and self.family == 'deepliif' and d.seg_gen:
+                # prune the 5 seg branches entirely (reference mod_only skips
+                # stage 2, models/__init__.py:330-334)
+                d = dataclasses.replace(d, seg_gen=False)
             family = self.family
 
             def _norm(x):
@@ -250,7 +259,7 @@ class InferenceSession:
                         and self.d.uniform_g and self.d.uniform_gs)
         fwd = self._forward(tuple(seg_weights) if seg_weights is not None else None,
                             return_intermediate and self.d.seg_gen and not mod_only,
-                            seg_only=use_seg_only)
+                            seg_only=use_seg_only, mod_only=mod_only)
         marker_idx = self._marker_index() if use_seg_only else None
 
         pos = 0
@@ -286,10 +295,10 @@ def _quantize_u8(y):
 
 
 @functools.lru_cache(maxsize=8)
-def init_nets(model_dir, phase='test'):
+def init_nets(model_dir, phase='test', epoch='latest'):
     """Cached session construction (reference init_nets, models/__init__.py:
     158-219; net grouping / GPU placement is obsolete — one program)."""
-    return InferenceSession(model_dir, phase=phase)
+    return InferenceSession(model_dir, phase=phase, epoch=epoch)
 
 
 def find_marker_key(d):
@@ -318,7 +327,9 @@ def inference(img, tile_size, overlap_size, model_path, use_torchserve=False,
     from PIL import Image
 
     if session is None:
-        session = init_nets(model_path)
+        session = init_nets(model_path,
+                            epoch=str(getattr(opt, 'epoch', 'latest') if opt
+                                      is not None else 'latest'))
     opt = session.opt if opt is None else opt
     if opt_args:
         for k, v in opt_args.items():
@@ -455,7 +466,9 @@ def infer_modalities(img, tile_size, model_dir, eager_mode=False,
                      return_seg_intermediate=False, seg_only=False,
                      mod_only=False, seg_weights=None):
     """Full tile-to-scoring pipeline (reference models/__init__.py:613-660)."""
-    session = init_nets(model_dir)
+    session = init_nets(model_dir,
+                        epoch=str(getattr(opt, 'epoch', 'latest') if opt
+                                  is not None else 'latest'))
     opt = session.opt if opt is None else opt
 
     images = inference(

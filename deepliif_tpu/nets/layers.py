@@ -215,19 +215,6 @@ def pixel_shuffle(x, factor=2):
 # refreshes the estimates between training steps.
 # ---------------------------------------------------------------------------
 
-def spectral_normalize(w, u, n_iter=1, eps=1e-12):
-    mat = w.reshape(-1, w.shape[-1])  # (HWI, O)
-    v = None
-    for _ in range(n_iter):
-        v = mat.T @ u
-        v = v / (jnp.linalg.norm(v) + eps)
-        u_new = mat @ v
-        u_new = u_new / (jnp.linalg.norm(u_new) + eps)
-        u = u_new
-    sigma = u @ (mat @ v)
-    return w / sigma, u
-
-
 def add_spectral_u(params, key):
     """Add power-iteration vectors 'u' next to every conv kernel 'w' in a
     (possibly stacked) param tree."""

@@ -85,9 +85,11 @@ def _apply_block(p, x, depth, num_downs, norm, use_dropout, train, rngs):
     h = L.relu(h)
     h = L.conv_transpose2d(h, p['upconv'], 2, 1, 0)
     h = L.apply_norm(h, p['upnorm'], norm)
-    # dropout only on the intermediate ngf*8 blocks (reference networks.py:535-536,604-605):
-    # those are depths 1 .. num_downs-5 (between the ngf-multiplier blocks and innermost)
-    if use_dropout and 1 <= depth <= num_downs - 5:
+    # dropout only on the intermediate ngf*8 blocks (reference networks.py:
+    # 535-536, 604-605). Construction order outer->inner is: outermost(0),
+    # ngf(1), ngf*2(2), ngf*4(3), then the (num_downs-5) intermediate ngf*8
+    # blocks at depths 4 .. num_downs-2, innermost(num_downs-1).
+    if use_dropout and 4 <= depth <= num_downs - 2:
         h = L.dropout(h, rngs[depth] if rngs is not None else None, 0.5, train)
     return jnp.concatenate([x, h], axis=-1)
 

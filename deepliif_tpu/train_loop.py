@@ -106,7 +106,10 @@ def train_model(opt):
                       list(d.loss_g_weights), list(d.loss_d_weights))
 
     dataset = create_dataset(opt, phase='train')
-    steps_per_epoch = max(1, len(dataset) // max(1, opt.batch_size))
+    # per-host steps: the loader strides indices rank::world, so the LR
+    # schedule must advance by real (global) epochs
+    world = max(1, getattr(dataset, 'world_size', 1))
+    steps_per_epoch = max(1, len(dataset) // max(1, opt.batch_size * world))
     print(f'The number of training images = {len(dataset)}')
 
     save_options(opt)
@@ -245,12 +248,12 @@ def train_model(opt):
                 visualizer.display_current_results(vis, epoch, True)
 
             if total_iters % save_latest_freq == 0:
-                _save_state(save_dir, state, 'latest', getattr(opt, 'remote_transfer_cmd', None))
+                _save_state(save_dir, state, 'latest', getattr(opt, 'remote_transfer_cmd', None), getattr(opt, 'checkpoint_format', 'npz'))
             iter_data_time = time.time()
 
         if epoch % save_epoch_freq == 0:
-            _save_state(save_dir, state, 'latest', getattr(opt, 'remote_transfer_cmd', None))
-            _save_state(save_dir, state, str(epoch + epoch_base), getattr(opt, 'remote_transfer_cmd', None))
+            _save_state(save_dir, state, 'latest', getattr(opt, 'remote_transfer_cmd', None), getattr(opt, 'checkpoint_format', 'npz'))
+            _save_state(save_dir, state, str(epoch + epoch_base), getattr(opt, 'remote_transfer_cmd', None), getattr(opt, 'checkpoint_format', 'npz'))
 
         if eval_fn is not None:
             _run_validation(opt, d, state, eval_fn, visualizer, epoch, rng)
@@ -259,7 +262,7 @@ def train_model(opt):
         print(f'End of epoch {epoch} / {n_epochs + n_epochs_decay} \t '
               f'Time Taken: {time.time() - epoch_start:.0f} sec')
 
-    _save_state(save_dir, state, 'latest', getattr(opt, 'remote_transfer_cmd', None))
+    _save_state(save_dir, state, 'latest', getattr(opt, 'remote_transfer_cmd', None), getattr(opt, 'checkpoint_format', 'npz'))
     visualizer.plot_to_png()
     return state, metrics
 
@@ -319,11 +322,11 @@ def _train_cyclegan(opt):
                 visualizer.plot_current_losses(
                     epoch, total_iters / max(1, len(dataset)), m)
         if epoch % save_epoch_freq == 0:
-            _save_state(save_dir, state, 'latest', getattr(opt, 'remote_transfer_cmd', None))
-            _save_state(save_dir, state, str(epoch), getattr(opt, 'remote_transfer_cmd', None))
+            _save_state(save_dir, state, 'latest', getattr(opt, 'remote_transfer_cmd', None), getattr(opt, 'checkpoint_format', 'npz'))
+            _save_state(save_dir, state, str(epoch), getattr(opt, 'remote_transfer_cmd', None), getattr(opt, 'checkpoint_format', 'npz'))
         print(f'End of epoch {epoch} / {n_total} \t '
               f'Time Taken: {time.time() - epoch_start:.0f} sec')
-    _save_state(save_dir, state, 'latest', getattr(opt, 'remote_transfer_cmd', None))
+    _save_state(save_dir, state, 'latest', getattr(opt, 'remote_transfer_cmd', None), getattr(opt, 'checkpoint_format', 'npz'))
     return state, metrics
 
 

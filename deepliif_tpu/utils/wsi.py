@@ -182,9 +182,16 @@ def infer_cells_for_wsi(input_dir, filename, output_dir, model_dir, tile_size,
             images, _ = infer_modalities(img, tile_size, model_dir,
                                          opt=session.opt, seg_only=True)
             marker_key = find_marker_key(images)
-            data = pp.compute_cell_results(
-                images['Seg'], images.get(marker_key), resolution,
-                version=3)
+            # v3/4 use the inferred marker; v5/6 use optical density of the
+            # ORIGINAL region (reference models/__init__.py:785-947).
+            # Encode after coordinate offsetting, so run the dict version.
+            if version in (5, 6):
+                data = pp.compute_cell_results(images['Seg'], img, resolution,
+                                               version=5)
+            else:
+                data = pp.compute_cell_results(
+                    images['Seg'], images.get(marker_key), resolution,
+                    version=3)
             size_threshes.append(data['settings']['default_size_thresh'])
             if data['settings'].get('default_marker_thresh') is not None:
                 marker_threshes.append(data['settings']['default_marker_thresh'])

@@ -116,3 +116,28 @@ def test_spectral_norm_model_forward(rng_key):
     mods, seg = dl2.generator_forward(params, jnp.zeros((1, 64, 64, 3)), d)
     assert mods.shape == (2, 1, 64, 64, 3)
     assert bool(jnp.isfinite(seg).all())
+
+
+def test_unet_dropout_targets_intermediate_blocks(monkeypatch, rng_key):
+    """Dropout must fire only on the intermediate ngf*8 blocks — depths
+    4..num_downs-2 (reference networks.py:535-536), not the outer blocks."""
+    from deepliif_tpu.nets import unet as unet_mod
+    from deepliif_tpu.nets import layers as L2
+    calls = []
+    real_dropout = L2.dropout
+
+    def spy(x, rng, rate=0.5, train=False):
+        if train and rng is not None:
+            calls.append(x.shape[-1])
+        return real_dropout(x, rng, rate, train)
+
+    monkeypatch.setattr(unet_mod.L, 'dropout', spy)
+    ngf = 4
+    num_downs = 7  # unet_128: depths 4,5 are the intermediate ngf*8 blocks
+    net = nets.define_g(3, 3, ngf=ngf, net_g='unet_128', use_dropout=True)
+    params = net.init(rng_key)
+    net.apply(params, jnp.zeros((1, 128, 128, 3)), train=True,
+              rng=jax.random.PRNGKey(0))
+    # two intermediate blocks; dropout applies to the up output of each,
+    # which has outer_nc = ngf*8 channels
+    assert calls == [ngf * 8, ngf * 8], calls
