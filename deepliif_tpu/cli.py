@@ -8,9 +8,8 @@ prepare-testing-data, visualize — with TPU-native semantics:
     step), so `trainlaunch` configures jax.distributed for multi-host pods
     instead of re-exec'ing under torchrun;
   * `serialize` converts a model dir (torch .pth/.pt or native .npz) to the
-    native stacked-npz format, runs an eager-vs-serialized parity check like
-    the reference (sum|diff| <= 10, reference util/__init__.py:718-741), and
-    optionally AOT-compiles the ensemble;
+    native stacked-npz format and runs an eager-vs-serialized parity check
+    like the reference (sum|diff| <= 10, reference util/__init__.py:718-741);
   * determinism comes from jax PRNG keys; the --seed flag seeds data order
     and weights (reference cli.py:30-58 global-seed machinery not needed).
 """
@@ -99,6 +98,8 @@ def cli():
 @click.option('--print-freq', default=100, type=int)
 @click.option('--display-freq', default=400, type=int)
 @click.option('--save-latest-freq', default=500, type=int)
+@click.option('--save-by-iter', is_flag=True,
+              help='save iter_<N> snapshots instead of overwriting latest')
 @click.option('--save-epoch-freq', default=100, type=int)
 @click.option('--max-dataset-size', default=None, type=int)
 @click.option('--precision', default='float32', type=click.Choice(['float32', 'bfloat16']))
@@ -312,6 +313,8 @@ def eval_dataset(dataroot, model_dir, phase, output_dir, num_test, seg_weights):
     opt.dataroot = dataroot
     opt.preprocess = 'none'
     opt.no_flip = True
+    weights = ([float(x) for x in seg_weights.split(',')] if seg_weights
+               else None)
     session = init_nets(model_dir)
     output_dir = output_dir or os.path.join(model_dir, f'eval_{phase}')
     ensure_exists(output_dir)
@@ -321,7 +324,7 @@ def eval_dataset(dataroot, model_dir, phase, output_dir, num_test, seg_weights):
     for i in range(n):
         item = ds[i]
         a_u8 = ((item['A'] + 1) * 127.5).astype(np.uint8)[None]
-        res = session.run_tiles(a_u8)
+        res = session.run_tiles(a_u8, seg_weights=weights)
         visuals = {'real_A': a_u8[0]}
         for k, v in res.items():
             name = ('fake_B_5' if k == 'GS'
@@ -353,7 +356,8 @@ def test_wsi(input_dir, filename, output_dir, tile_size, model_dir,
     """Whole-slide inference: region streaming + stitched pyramid output."""
     from .utils.wsi import infer_results_for_wsi
     infer_results_for_wsi(input_dir, filename, output_dir, model_dir,
-                          tile_size, region_size, seg_only=seg_only)
+                          tile_size, region_size, seg_only=seg_only,
+                          seg_intermediate=seg_intermediate)
 
 
 @cli.command(name='wsi-cells')

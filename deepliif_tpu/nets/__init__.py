@@ -134,29 +134,41 @@ def make_lr_schedule(opt, steps_per_epoch=1):
             return 0.5 * (1 + jnp.cos(jnp.pi * epoch / n_epochs))
         return sched
     if policy == 'plateau':
-        # plateau needs a metric; handled host-side by the train loop via
-        # optax.scale_by_schedule on an injected multiplier. Fallback: flat.
+        # plateau is metric-driven, not step-driven: the LR lives in the
+        # optimizer state (inject_hyperparams, see make_optimizer) and the
+        # train loop's PlateauController rescales it between epochs.
         return lambda step: 1.0
     raise NotImplementedError(f'lr policy [{policy}] not implemented')
 
 
 def make_optimizer(opt, lr, steps_per_epoch=1):
-    """Build an optax optimizer by name with the reference's LR schedule."""
+    """Build an optax optimizer by name with the reference's LR schedule.
+
+    For lr_policy='plateau' the learning rate is injected into the optimizer
+    state (optax.inject_hyperparams) so the host-side plateau controller
+    (train_loop.PlateauController; reference ReduceLROnPlateau factor=0.2
+    threshold=0.01 patience=5, networks.py:74-75) can rescale it between
+    epochs without recompiling the step.
+    """
     name = getattr(opt, 'optimizer', 'adam').lower()
     beta1 = getattr(opt, 'beta1', 0.5)
+    policy = getattr(opt, 'lr_policy', 'linear')
+
+    def base(learning_rate):
+        if name == 'adam':
+            return optax.adam(learning_rate, b1=beta1, b2=0.999)
+        if name == 'adamw':
+            return optax.adamw(learning_rate, b1=beta1, b2=0.999)
+        if name == 'sgd':
+            return optax.sgd(learning_rate)
+        if name == 'rmsprop':
+            return optax.rmsprop(learning_rate)
+        if name == 'adagrad':
+            return optax.adagrad(learning_rate)
+        raise NotImplementedError(f'optimizer [{name}] not implemented')
+
+    if policy == 'plateau':
+        return optax.inject_hyperparams(base)(learning_rate=lr)
+
     sched = make_lr_schedule(opt, steps_per_epoch)
-
-    def scaled_lr(step):
-        return lr * sched(step)
-
-    if name == 'adam':
-        return optax.adam(scaled_lr, b1=beta1, b2=0.999)
-    if name == 'adamw':
-        return optax.adamw(scaled_lr, b1=beta1, b2=0.999)
-    if name == 'sgd':
-        return optax.sgd(scaled_lr)
-    if name == 'rmsprop':
-        return optax.rmsprop(scaled_lr)
-    if name == 'adagrad':
-        return optax.adagrad(scaled_lr)
-    raise NotImplementedError(f'optimizer [{name}] not implemented')
+    return base(lambda step: lr * sched(step))

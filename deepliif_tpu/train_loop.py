@@ -41,6 +41,53 @@ def check_weights(model, modalities_no, seg_weights, loss_g_weights,
         assert abs(sum(w) - 1.0) < 1e-6, f'{name} must sum to 1 (got {sum(w)})'
 
 
+class PlateauController:
+    """ReduceLROnPlateau(mode='min', rel threshold) host-side controller
+    (reference networks.py:74-75: factor=0.2, threshold=0.01, patience=5).
+
+    The reference steps its scheduler with a metric that is never set (stays
+    0, base_model.py:48,136); here the monitored metric is the mean epoch
+    loss (or mean validation loss when --with-val is on), which is the
+    documented intent of the policy.
+    """
+
+    def __init__(self, factor=0.2, threshold=0.01, patience=5):
+        self.factor = factor
+        self.threshold = threshold
+        self.patience = patience
+        self.best = None
+        self.num_bad = 0
+        self.mult = 1.0
+
+    def step(self, metric):
+        """Returns True if the LR multiplier was just reduced."""
+        if self.best is None or metric < self.best * (1 - self.threshold):
+            self.best = metric
+            self.num_bad = 0
+            return False
+        self.num_bad += 1
+        if self.num_bad > self.patience:
+            self.mult *= self.factor
+            self.num_bad = 0
+            return True
+        return False
+
+
+def _set_injected_lr(state, lr_g, lr_d):
+    """Write new learning rates into inject_hyperparams optimizer states."""
+    for attr, new_lr in (('g_opt_state', lr_g), ('d_opt_state', lr_d)):
+        s = getattr(state, attr)
+        if not hasattr(s, 'hyperparams'):
+            continue
+        old = s.hyperparams['learning_rate']
+        new = jnp.asarray(new_lr, dtype=getattr(old, 'dtype', jnp.float32))
+        if hasattr(old, 'sharding'):
+            new = jax.device_put(new, old.sharding)
+        hp = dict(s.hyperparams)
+        hp['learning_rate'] = new
+        setattr(state, attr, s._replace(hyperparams=hp))
+
+
 def _batch_to_device(batch, d, mesh=None):
     out = {k: jnp.asarray(v) for k, v in batch.items()
            if not k.endswith('_paths')}
@@ -204,6 +251,13 @@ def train_model(opt):
     n_epochs = getattr(opt, 'n_epochs', 100)
     n_epochs_decay = getattr(opt, 'n_epochs_decay', 100)
     epoch_count = getattr(opt, 'epoch_count', 1)
+    save_by_iter = getattr(opt, 'save_by_iter', False)
+
+    lr_policy = getattr(opt, 'lr_policy', 'linear')
+    lr_g0 = getattr(opt, 'lr_g', 2e-4)
+    plateau = PlateauController() if lr_policy == 'plateau' else None
+    from .nets import make_lr_schedule
+    lr_sched = make_lr_schedule(opt, steps_per_epoch)
 
     metrics = {}
     for epoch in range(epoch_count, n_epochs + n_epochs_decay + 1):
@@ -248,17 +302,33 @@ def train_model(opt):
                 visualizer.display_current_results(vis, epoch, True)
 
             if total_iters % save_latest_freq == 0:
-                _save_state(save_dir, state, 'latest', getattr(opt, 'remote_transfer_cmd', None), getattr(opt, 'checkpoint_format', 'npz'))
+                # --save-by-iter keeps every snapshot under iter_<N> instead
+                # of overwriting latest (reference cli.py:472-475)
+                suffix = f'iter_{total_iters}' if save_by_iter else 'latest'
+                _save_state(save_dir, state, suffix, getattr(opt, 'remote_transfer_cmd', None), getattr(opt, 'checkpoint_format', 'npz'))
             iter_data_time = time.time()
 
         if epoch % save_epoch_freq == 0:
             _save_state(save_dir, state, 'latest', getattr(opt, 'remote_transfer_cmd', None), getattr(opt, 'checkpoint_format', 'npz'))
             _save_state(save_dir, state, str(epoch + epoch_base), getattr(opt, 'remote_transfer_cmd', None), getattr(opt, 'checkpoint_format', 'npz'))
 
+        val_losses = None
         if eval_fn is not None:
-            _run_validation(opt, d, state, eval_fn, visualizer, epoch, rng)
+            val_losses = _run_validation(opt, d, state, eval_fn, visualizer,
+                                         epoch, rng)
 
-        lr_now = float(2e-4)  # informational; actual LR follows the schedule
+        if plateau is not None:
+            monitored = (float(np.mean(list(val_losses.values())))
+                         if val_losses else
+                         float(np.mean(np.asarray(metrics.get('loss_G', 0.0)))))
+            if plateau.step(monitored):
+                _set_injected_lr(state, lr_g0 * plateau.mult,
+                                 getattr(opt, 'lr_d', 2e-4) * plateau.mult)
+                print(f'plateau: reducing learning rate (metric {monitored:.4f})')
+            lr_now = lr_g0 * plateau.mult
+        else:
+            lr_now = lr_g0 * float(lr_sched(int(jax.device_get(state.step))))
+        print(f'learning rate = {lr_now:.7f}')
         print(f'End of epoch {epoch} / {n_epochs + n_epochs_decay} \t '
               f'Time Taken: {time.time() - epoch_start:.0f} sec')
 
@@ -368,11 +438,12 @@ def _remote_transfer(cmd, save_dir, suffix, optim_path):
 
 
 def _run_validation(opt, d, state, eval_fn, visualizer, epoch, rng):
+    """Returns the mean validation losses dict (or None if no val set)."""
     try:
         dataset_val = create_dataset(opt, phase='val')
     except FileNotFoundError:
         print('with_val set but no val directory found; skipping validation')
-        return
+        return None
     losses_acc = []
     outputs = {}
     for data in dataset_val:
@@ -383,6 +454,7 @@ def _run_validation(opt, d, state, eval_fn, visualizer, epoch, rng):
         mods, seg = dl.generator_forward(state.g_params, jbatch['A'], d)
         if seg is not None:
             outputs[name] = (np.asarray(jbatch['A'][0]), np.asarray(seg[0]))
+    avg = None
     if losses_acc:
         avg = {k: float(np.mean([x[k] for x in losses_acc]))
                for k in losses_acc[0]}
@@ -395,3 +467,4 @@ def _run_validation(opt, d, state, eval_fn, visualizer, epoch, rng):
                                 opt.model)
         visualizer.plot_current_metrics(epoch, rmse)
         print('val cell-count RMSE:', rmse)
+    return avg

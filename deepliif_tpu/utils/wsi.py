@@ -95,7 +95,8 @@ def get_wsi_resolution(path_or_mag, tile_size_base=512):
 
 
 def infer_results_for_wsi(input_dir, filename, output_dir, model_dir,
-                          tile_size, region_size=20000, seg_only=False):
+                          tile_size, region_size=20000, seg_only=False,
+                          seg_intermediate=False):
     """Region loop over the slide; accumulates modality canvases + counts
     (reference models/__init__.py:663-727)."""
     from ..models import infer_modalities, init_nets
@@ -131,18 +132,18 @@ def infer_results_for_wsi(input_dir, filename, output_dir, model_dir,
         if item is None:
             break
         (rx, ry, rw, rh), region = item
-        if True:
-            img = Image.fromarray(region)
-            images, scoring = infer_modalities(img, tile_size, model_dir,
-                                               opt=session.opt,
-                                               seg_only=seg_only)
-            for name, im in images.items():
-                if name not in canvases:
-                    canvases[name] = np.zeros((size_y, size_x, 3), np.uint8)
-                canvases[name][ry:ry + rh, rx:rx + rw] = np.asarray(im)[:rh, :rw]
-            if scoring:
-                for k in scoring_total:
-                    scoring_total[k] += scoring.get(k, 0)
+        img = Image.fromarray(region)
+        images, scoring = infer_modalities(img, tile_size, model_dir,
+                                           opt=session.opt,
+                                           seg_only=seg_only,
+                                           return_seg_intermediate=seg_intermediate)
+        for name, im in images.items():
+            if name not in canvases:
+                canvases[name] = np.zeros((size_y, size_x, 3), np.uint8)
+            canvases[name][ry:ry + rh, rx:rx + rw] = np.asarray(im)[:rh, :rw]
+        if scoring:
+            for k in scoring_total:
+                scoring_total[k] += scoring.get(k, 0)
 
     reader.close()
     stem = filename.rsplit('.', 1)[0]
