@@ -246,9 +246,12 @@ def serialize(model_dir, output_dir, do_verify):
 @click.option('--color-dapi', is_flag=True)
 @click.option('--color-marker', is_flag=True)
 @click.option('--btoa', '--BtoA', 'btoa', is_flag=True)
+@click.option('--max-batch', default=None, type=int,
+              help='tile-batch bucket cap (default: 32 bf16 / 16 f32, the '
+                   'measured v5e optima)')
 def test(input_dir, output_dir, tile_size, model_dir, filename_pattern,
          eager_mode, epoch, seg_intermediate, seg_only, mod_only, color_dapi,
-         color_marker, btoa):
+         color_marker, btoa, max_batch):
     """Run tiled inference + quantification over a directory of images."""
     from PIL import Image
     from .models import infer_modalities
@@ -280,7 +283,8 @@ def test(input_dir, output_dir, tile_size, model_dir, filename_pattern,
             images, scoring = infer_modalities(
                 img, tile_size, model_dir, opt=opt,
                 return_seg_intermediate=seg_intermediate,
-                seg_only=seg_only, mod_only=mod_only, seg_weights=seg_weights)
+                seg_only=seg_only, mod_only=mod_only, seg_weights=seg_weights,
+                max_batch=max_batch)
             stem = filename.rsplit('.', 1)[0]
             for name, im in images.items():
                 im.save(os.path.join(output_dir, f'{stem}_{name}.png'))
@@ -498,11 +502,13 @@ def compute_statistics(gt_dir, model_output_dir, model_name, image_size,
 @click.option('--model-dir', required=True, help='model directory to serve')
 @click.option('--host', default='0.0.0.0')
 @click.option('--port', default=8080, type=int)
-def serve(model_dir, host, port):
+@click.option('--max-batch', default=None, type=int,
+              help='tile-batch bucket cap (default: 32 bf16 / 16 f32)')
+def serve(model_dir, host, port, max_batch):
     """Run the REST API server (POST /api/infer, /api/postprocess) —
     the reference cloud contract, so the ImageJ plugin works unchanged."""
     from .serve import serve as run_server
-    run_server(model_dir, host, port)
+    run_server(model_dir, host, port, max_batch)
 
 
 @cli.command()

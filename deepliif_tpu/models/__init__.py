@@ -66,11 +66,10 @@ class InferenceSession:
       CycleGAN:    GA_1..GA_m (or GB_* with BtoA)
     """
 
-    def __init__(self, model_dir, opt=None, phase='test', max_batch=16,
+    def __init__(self, model_dir, opt=None, phase='test', max_batch=None,
                  epoch='latest'):
         self.model_dir = model_dir
         self.opt = opt if opt is not None else get_opt(model_dir, mode=phase)
-        self.max_batch = max_batch
         self.epoch = str(epoch)
         self.model = getattr(self.opt, 'model', 'DeepLIIF')
         if self.model in ('DeepLIIF', 'DeepLIIFKD'):
@@ -90,6 +89,12 @@ class InferenceSession:
             self.d = cg.def_from_opt(self.opt)
         else:
             raise NotImplementedError(f'unknown model family {self.model}')
+        if max_batch is None:
+            # measured throughput optimum on v5e: batch 32 bf16; f32 at the
+            # 512^2 flagship needs the smaller bucket to stay inside HBM
+            # (docs/Performance.md)
+            max_batch = 32 if self.d.dtype is not None else 16
+        self.max_batch = max_batch
         self.params = self._load_params(model_dir)
         self._jitted = {}
 
@@ -262,17 +267,8 @@ class InferenceSession:
                             seg_only=use_seg_only, mod_only=mod_only)
         marker_idx = self._marker_index() if use_seg_only else None
 
-        pos = 0
-        while pos < len(nonempty):
-            b = _bucket(len(nonempty) - pos, self.max_batch)
-            chunk = x_all[pos:pos + b]
-            pad = b - chunk.shape[0]
-            if pad:
-                chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:],
-                                                        chunk.dtype)])
-            res = fwd(self.params, jnp.asarray(chunk))
-            valid = b - pad
-            idx = nonempty[pos:pos + valid]
+        def _drain(idx, valid, res):
+            # device->host fetch of one bucket's outputs
             if 'mods' in res:
                 mods = np.asarray(res['mods'])  # (M, b, s, s, 3) uint8
                 for i, mk in enumerate(mod_keys):
@@ -286,7 +282,27 @@ class InferenceSession:
                 for i in range(segs.shape[0]):
                     k = f'GS{i}' if self.family == 'deepliif' else f'GS_{i+1}'
                     out[k][idx] = segs[i][:valid]
+
+        # two-deep pipeline: dispatch bucket i+1 (async) before fetching
+        # bucket i, so the host upload/download overlaps device compute
+        from collections import deque
+        pending = deque()
+        pos = 0
+        while pos < len(nonempty):
+            b = _bucket(len(nonempty) - pos, self.max_batch)
+            chunk = x_all[pos:pos + b]
+            pad = b - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:],
+                                                        chunk.dtype)])
+            res = fwd(self.params, jnp.asarray(chunk))  # async dispatch
+            valid = b - pad
+            pending.append((nonempty[pos:pos + valid], valid, res))
+            if len(pending) >= 2:
+                _drain(*pending.popleft())
             pos += valid
+        while pending:
+            _drain(*pending.popleft())
         return out
 
 
@@ -295,10 +311,11 @@ def _quantize_u8(y):
 
 
 @functools.lru_cache(maxsize=8)
-def init_nets(model_dir, phase='test', epoch='latest'):
+def init_nets(model_dir, phase='test', epoch='latest', max_batch=None):
     """Cached session construction (reference init_nets, models/__init__.py:
     158-219; net grouping / GPU placement is obsolete — one program)."""
-    return InferenceSession(model_dir, phase=phase, epoch=epoch)
+    return InferenceSession(model_dir, phase=phase, epoch=epoch,
+                            max_batch=max_batch)
 
 
 def find_marker_key(d):
@@ -318,7 +335,7 @@ def is_empty(tile):
 def inference(img, tile_size, overlap_size, model_path, use_torchserve=False,
               eager_mode=False, color_dapi=False, color_marker=False, opt=None,
               return_seg_intermediate=False, seg_only=False, mod_only=False,
-              seg_weights=None, opt_args=None, session=None):
+              seg_weights=None, opt_args=None, session=None, max_batch=None):
     """Tiled ensemble inference on a PIL image; returns {name: PIL.Image}.
 
     Output key naming matches the reference inference()
@@ -329,7 +346,8 @@ def inference(img, tile_size, overlap_size, model_path, use_torchserve=False,
     if session is None:
         session = init_nets(model_path,
                             epoch=str(getattr(opt, 'epoch', 'latest') if opt
-                                      is not None else 'latest'))
+                                      is not None else 'latest'),
+                            max_batch=max_batch)
     opt = session.opt if opt is None else opt
     if opt_args:
         for k, v in opt_args.items():
@@ -464,11 +482,12 @@ def postprocess(orig, images, tile_size, model, seg_thresh=120,
 def infer_modalities(img, tile_size, model_dir, eager_mode=False,
                      color_dapi=False, color_marker=False, opt=None,
                      return_seg_intermediate=False, seg_only=False,
-                     mod_only=False, seg_weights=None):
+                     mod_only=False, seg_weights=None, max_batch=None):
     """Full tile-to-scoring pipeline (reference models/__init__.py:613-660)."""
     session = init_nets(model_dir,
                         epoch=str(getattr(opt, 'epoch', 'latest') if opt
-                                  is not None else 'latest'))
+                                  is not None else 'latest'),
+                        max_batch=max_batch)
     opt = session.opt if opt is None else opt
 
     images = inference(

@@ -58,16 +58,17 @@ def init(key, img_ch=3, output_ch=3, init_type='normal', init_gain=0.02):
     return p
 
 
-def _attention(p, lvl, g, x):
-    g1 = L.batch_stat_norm(L.conv2d(g, p[f'att{lvl}_wg'], 1, 0), p[f'att{lvl}_wg_norm'])
-    x1 = L.batch_stat_norm(L.conv2d(x, p[f'att{lvl}_wx'], 1, 0), p[f'att{lvl}_wx_norm'])
+def _attention(p, lvl, g, x, ps):
+    g1 = L.batch_stat_norm(L.conv2d(g, p[f'att{lvl}_wg'], 1, 0), p[f'att{lvl}_wg_norm'], per_sample=ps)
+    x1 = L.batch_stat_norm(L.conv2d(x, p[f'att{lvl}_wx'], 1, 0), p[f'att{lvl}_wx_norm'], per_sample=ps)
     psi = L.relu(g1 + x1)
-    psi = L.batch_stat_norm(L.conv2d(psi, p[f'att{lvl}_psi'], 1, 0), p[f'att{lvl}_psi_norm'])
+    psi = L.batch_stat_norm(L.conv2d(psi, p[f'att{lvl}_psi'], 1, 0), p[f'att{lvl}_psi_norm'], per_sample=ps)
     psi = 1.0 / (1.0 + jnp.exp(-psi))
     return x * psi
 
 
 def apply(p, x, *, train=False, rng=None, dtype=None):
+    ps = not train  # per-sample stats at inference (see layers.batch_stat_norm)
     if dtype is not None:
         x = x.astype(dtype)
     enc = []
@@ -75,7 +76,7 @@ def apply(p, x, *, train=False, rng=None, dtype=None):
     for i in range(8):
         h = L.conv2d(h, p[f'conv{i+1}'], 2, 1)
         if 0 < i < 7:
-            h = L.batch_stat_norm(h, p[f'conv{i+1}_norm'])
+            h = L.batch_stat_norm(h, p[f'conv{i+1}_norm'], per_sample=ps)
             h = L.leaky_relu(h, 0.2)
         elif i == 0:
             h = L.leaky_relu(h, 0.2)
@@ -84,14 +85,14 @@ def apply(p, x, *, train=False, rng=None, dtype=None):
         enc.append(h)
 
     d = L.conv_transpose2d(enc[7], p['up8'], 2, 1, 0)
-    d = L.relu(L.batch_stat_norm(d, p['up8_norm']))
-    skip = _attention(p, 8, d, enc[6])
+    d = L.relu(L.batch_stat_norm(d, p['up8_norm'], per_sample=ps))
+    skip = _attention(p, 8, d, enc[6], ps)
     d = jnp.concatenate([skip, d], axis=-1)
 
     for lvl, skip_i in zip(range(7, 1, -1), range(5, -1, -1)):
         d = L.conv_transpose2d(d, p[f'up{lvl}'], 2, 1, 0)
-        d = L.relu(L.batch_stat_norm(d, p[f'up{lvl}_norm']))
-        skip = _attention(p, lvl, d, enc[skip_i])
+        d = L.relu(L.batch_stat_norm(d, p[f'up{lvl}_norm'], per_sample=ps))
+        skip = _attention(p, lvl, d, enc[skip_i], ps)
         d = jnp.concatenate([skip, d], axis=-1)
 
     d = L.conv_transpose2d(d, p['up1'], 2, 1, 0)

@@ -62,10 +62,12 @@ def gconv_transpose(x, p, n, stride=2, padding=1, output_padding=1):
 
 
 def gnorm(x, p, norm_type):
-    """Per-net-per-channel norm == channel-wise norm on the grouped tensor."""
+    """Per-net-per-channel norm == channel-wise norm on the grouped tensor.
+    Inference-only path: per-sample statistics (see layers.batch_stat_norm)."""
     if norm_type == 'batch':
         return L.batch_stat_norm(x, {'scale': p['scale'].reshape(-1),
-                                     'bias': p['bias'].reshape(-1)})
+                                     'bias': p['bias'].reshape(-1)},
+                                 per_sample=True)
     if norm_type == 'instance':
         return L.instance_norm(x)
     return x

@@ -113,19 +113,29 @@ def conv_transpose2d(x, p, stride=2, padding=1, output_padding=1):
 # normalization
 # ---------------------------------------------------------------------------
 
-def batch_stat_norm(x, p, eps=1e-5):
+def batch_stat_norm(x, p, eps=1e-5, per_sample=False):
     """BatchNorm2d with per-batch statistics (biased variance), affine.
+
+    ``per_sample=True`` computes statistics per sample (axes H,W only) —
+    this is the REFERENCE INFERENCE semantics: the reference disables
+    running stats and feeds every tile as a batch of one
+    (util/__init__.py:743-771 + per-tile run_dask), so its "batch" stats
+    are per-tile. Batched tile inference must not couple tiles through the
+    norm (outputs would depend on bucketing). Training keeps the
+    batch-coupled torch semantics (per_sample=False).
 
     Statistics are computed in float32 (small per-channel reductions); the
     normalization arithmetic stays in the activation dtype so bf16 runs keep
     bf16 temps — upcasting the full activation tensor to f32 doubled HBM
     footprint and OOM'd large tile batches.
     """
+    axes = (1, 2) if per_sample else (0, 1, 2)
     x32 = x.astype(jnp.float32)
-    mean = x32.mean(axis=(0, 1, 2))
-    var = ((x32 - mean) ** 2).mean(axis=(0, 1, 2))
-    scale = (jax.lax.rsqrt(var + eps) * p['scale']).astype(x.dtype)
-    bias = (p['bias'] - mean * jax.lax.rsqrt(var + eps) * p['scale']).astype(x.dtype)
+    mean = x32.mean(axis=axes, keepdims=True)
+    var = ((x32 - mean) ** 2).mean(axis=axes, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    scale = (inv * p['scale']).astype(x.dtype)
+    bias = (p['bias'] - mean * inv * p['scale']).astype(x.dtype)
     return x * scale + bias
 
 
@@ -144,9 +154,11 @@ def instance_norm(x, p=None, eps=1e-5):
     return x * scale + bias
 
 
-def apply_norm(x, p, norm_type):
+def apply_norm(x, p, norm_type, train=True):
+    """``train=False`` switches 'batch' norm to per-sample statistics (the
+    reference's effective inference semantics — see batch_stat_norm)."""
     if norm_type == 'batch':
-        return batch_stat_norm(x, p)
+        return batch_stat_norm(x, p, per_sample=not train)
     if norm_type == 'instance':
         return instance_norm(x)
     if norm_type in ('none', 'spectral'):

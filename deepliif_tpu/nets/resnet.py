@@ -69,12 +69,12 @@ def apply(p, x, *, n_blocks=9, norm='batch', use_dropout=True,
 
     x = L.pad2d(x, 3, pad_head)
     x = L.conv2d(x, p['head_conv'], 1, 0)
-    x = L.apply_norm(x, p['head_norm'], norm)
+    x = L.apply_norm(x, p['head_norm'], norm, train)
     x = L.relu(x)
 
     for i in range(2):
         x = L.conv2d(x, p[f'down{i}_conv'], 2, 1)
-        x = L.apply_norm(x, p[f'down{i}_norm'], norm)
+        x = L.apply_norm(x, p[f'down{i}_norm'], norm, train)
         x = L.relu(x)
 
     rngs = jax.random.split(rng, n_blocks) if (train and use_dropout and rng is not None) else [None] * n_blocks
@@ -84,14 +84,14 @@ def apply(p, x, *, n_blocks=9, norm='batch', use_dropout=True,
         if res_pad == 0:
             h = L.pad2d(h, 1, padding_type)
         h = L.conv2d(h, p[f'res{i}_conv1'], 1, res_pad)
-        h = L.apply_norm(h, p[f'res{i}_norm1'], norm)
+        h = L.apply_norm(h, p[f'res{i}_norm1'], norm, train)
         h = L.relu(h)
         if use_dropout:
             h = L.dropout(h, rngs[i], 0.5, train)
         if res_pad == 0:
             h = L.pad2d(h, 1, padding_type)
         h = L.conv2d(h, p[f'res{i}_conv2'], 1, res_pad)
-        h = L.apply_norm(h, p[f'res{i}_norm2'], norm)
+        h = L.apply_norm(h, p[f'res{i}_norm2'], norm, train)
         x = x + h
 
     for i in range(2):
@@ -105,7 +105,7 @@ def apply(p, x, *, n_blocks=9, norm='batch', use_dropout=True,
             x = L.conv2d(x, p[f'up{i}_conv'], 1, 1)
             x = L.pixel_shuffle(x, 2)
             x = L.relu(x)
-        x = L.apply_norm(x, p[f'up{i}_norm'], norm)
+        x = L.apply_norm(x, p[f'up{i}_norm'], norm, train)
         x = L.relu(x)
 
     x = L.pad2d(x, 3, pad_head)

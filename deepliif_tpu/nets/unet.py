@@ -76,15 +76,15 @@ def _apply_block(p, x, depth, num_downs, norm, use_dropout, train, rngs):
         h = L.conv2d(h, p['downconv'], 2, 1)
         h = L.relu(h)
         h = L.conv_transpose2d(h, p['upconv'], 2, 1, 0)
-        h = L.apply_norm(h, p['upnorm'], norm)
+        h = L.apply_norm(h, p['upnorm'], norm, train)
         return jnp.concatenate([x, h], axis=-1)
     h = L.leaky_relu(x, 0.2)
     h = L.conv2d(h, p['downconv'], 2, 1)
-    h = L.apply_norm(h, p['downnorm'], norm)
+    h = L.apply_norm(h, p['downnorm'], norm, train)
     h = _apply_block(p['sub'], h, depth + 1, num_downs, norm, use_dropout, train, rngs)
     h = L.relu(h)
     h = L.conv_transpose2d(h, p['upconv'], 2, 1, 0)
-    h = L.apply_norm(h, p['upnorm'], norm)
+    h = L.apply_norm(h, p['upnorm'], norm, train)
     # dropout only on the intermediate ngf*8 blocks (reference networks.py:
     # 535-536, 604-605). Construction order outer->inner is: outermost(0),
     # ngf(1), ngf*2(2), ngf*4(3), then the (num_downs-5) intermediate ngf*8

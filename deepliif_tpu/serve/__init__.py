@@ -81,7 +81,7 @@ def _parse_thresholds(q):
     return prob_thresh, size_thresh, size_up, marker_thresh
 
 
-def make_handler(model_dir):
+def make_handler(model_dir, max_batch=None):
     from PIL import Image
 
     from .. import postprocessing as pp
@@ -154,7 +154,7 @@ def make_handler(model_dir):
 
             from ..models import inference
             with session_lock:
-                session = init_nets(model_dir)
+                session = init_nets(model_dir, max_batch=max_batch)
                 images = inference(img, tile_size=tile_size,
                                    overlap_size=tile_size // 16,
                                    model_path=model_dir, opt=session.opt,
@@ -234,8 +234,9 @@ def make_handler(model_dir):
     return Handler
 
 
-def serve(model_dir, host='0.0.0.0', port=8080):
-    server = ThreadingHTTPServer((host, port), make_handler(model_dir))
+def serve(model_dir, host='0.0.0.0', port=8080, max_batch=None):
+    server = ThreadingHTTPServer((host, port),
+                                 make_handler(model_dir, max_batch=max_batch))
     print(f'serving DeepLIIF-TPU model {model_dir} on {host}:{port}')
     server.serve_forever()
 
@@ -246,8 +247,9 @@ def main():
     ap.add_argument('--model-dir', required=True)
     ap.add_argument('--host', default='0.0.0.0')
     ap.add_argument('--port', type=int, default=8080)
+    ap.add_argument('--max-batch', type=int, default=None)
     args = ap.parse_args()
-    serve(args.model_dir, args.host, args.port)
+    serve(args.model_dir, args.host, args.port, args.max_batch)
 
 
 if __name__ == '__main__':

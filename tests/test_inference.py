@@ -99,6 +99,24 @@ def test_seg_intermediate_outputs(model_dir):
         assert images[k].size == img.size
 
 
+def test_batch_size_invariance(model_dir):
+    """Tile outputs must not depend on how tiles are bucketed into batches.
+
+    The reference runs every tile as a batch of one with batch-norm running
+    stats disabled (util/__init__.py:743-771), so its 'batch' statistics are
+    per-tile. Batched inference must therefore use per-sample stats —
+    regression test for the norm coupling fixed in round 2."""
+    from deepliif_tpu.models import InferenceSession
+    session = InferenceSession(model_dir)
+    rng = np.random.default_rng(5)
+    tiles = rng.integers(0, 255, (3, 64, 64, 3), np.uint8)
+    batched = session.run_tiles(tiles)
+    for i in range(3):
+        single = session.run_tiles(tiles[i:i + 1])
+        for k in batched:
+            np.testing.assert_array_equal(batched[k][i], single[k][0])
+
+
 def test_run_to_run_consistency_contract(model_dir):
     """Reference contract: repeated runs must satisfy 1-SSIM < 0.0003
     (tests/test_cli_inference.py:8). Jitted XLA is deterministic, so we
