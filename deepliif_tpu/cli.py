@@ -227,6 +227,45 @@ def serialize(model_dir, output_dir, do_verify):
         click.echo(f'parity check passed (sum|diff| = {diff:.1f} <= 10)')
 
 
+@cli.command(name='import-model')
+@click.option('--torch-dir', required=True,
+              help='reference model dir (latest_net_G*.pth or G*.pt)')
+@click.option('--output-dir', required=True, help='native model dir to write')
+@click.option('--verify/--no-verify', 'do_verify', default=True,
+              help='run the imported-vs-source parity check')
+def import_model(torch_dir, output_dir, do_verify):
+    """Convert a pretrained reference (torch) model dir to the native npz
+    format. Activates the pixel-parity contract: once a pretrained dir is
+    imported, tests/test_golden_parity.py checks SSIM >= 0.9997 against the
+    shipped reference outputs (reference tests/test_cli_inference.py:8)."""
+    from .models import InferenceSession
+    from .utils import checkpoints
+
+    ensure_exists(output_dir)
+    session = InferenceSession(torch_dir)  # auto-imports torch state dicts
+    checkpoints.save_networks(output_dir, session.params)
+    import shutil
+    for fn in ('train_opt.txt', 'config.json'):
+        src = os.path.join(torch_dir, fn)
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(output_dir, fn))
+    click.echo(f'imported {torch_dir} -> {output_dir}')
+
+    if do_verify:
+        import numpy as np
+        size = getattr(session.opt, 'scale_size', 512)
+        nc = 3 * getattr(session.opt, 'input_no', 1)
+        tile = np.random.default_rng(0).integers(0, 255, (1, size, size, nc),
+                                                 np.uint8)
+        out1 = session.run_tiles(tile)
+        out2 = InferenceSession(output_dir).run_tiles(tile)
+        diff = sum(float(np.abs(out1[k].astype(np.int64)
+                                - out2[k].astype(np.int64)).sum())
+                   for k in out1)
+        assert diff <= 10, f'import parity failed: sum|diff|={diff}'
+        click.echo(f'parity check passed (sum|diff| = {diff:.1f} <= 10)')
+
+
 # ---------------------------------------------------------------------------
 # test
 # ---------------------------------------------------------------------------
