@@ -385,11 +385,27 @@ def eval_dataset(dataroot, model_dir, phase, output_dir, num_test, seg_weights):
     click.echo(f'wrote {n} results to {output_dir}')
 
 
+def _resolve_wsi_tile_size(tile_size, input_dir, filename):
+    """Autodetect the tile size from the slide's objective magnification
+    when --tile-size is omitted (reference get_wsi_resolution,
+    models/__init__.py:730-782); fallback 512 (40x)."""
+    if tile_size is not None:
+        return tile_size
+    from .utils.wsi import get_wsi_resolution
+    detected = get_wsi_resolution(os.path.join(input_dir, filename))
+    if detected:
+        click.echo(f'tile size {detected} from slide magnification metadata')
+        return detected
+    click.echo('no magnification metadata; using tile size 512 (40x)')
+    return 512
+
+
 @cli.command(name='test-wsi')
 @click.option('--input-dir', required=True)
 @click.option('--filename', required=True)
 @click.option('--output-dir', required=True)
-@click.option('--tile-size', type=click.IntRange(min=1), required=True)
+@click.option('--tile-size', type=click.IntRange(min=1), default=None,
+              help='default: from slide magnification metadata, else 512')
 @click.option('--model-dir', default='./model-server/DeepLIIF_Latest_Model/')
 @click.option('--region-size', default=20000, type=int)
 @click.option('--seg-intermediate', is_flag=True)
@@ -398,6 +414,7 @@ def test_wsi(input_dir, filename, output_dir, tile_size, model_dir,
              region_size, seg_intermediate, seg_only):
     """Whole-slide inference: region streaming + stitched pyramid output."""
     from .utils.wsi import infer_results_for_wsi
+    tile_size = _resolve_wsi_tile_size(tile_size, input_dir, filename)
     infer_results_for_wsi(input_dir, filename, output_dir, model_dir,
                           tile_size, region_size, seg_only=seg_only,
                           seg_intermediate=seg_intermediate)
@@ -407,7 +424,8 @@ def test_wsi(input_dir, filename, output_dir, tile_size, model_dir,
 @click.option('--input-dir', required=True)
 @click.option('--filename', required=True)
 @click.option('--output-dir', required=True)
-@click.option('--tile-size', type=click.IntRange(min=1), required=True)
+@click.option('--tile-size', type=click.IntRange(min=1), default=None,
+              help='default: from slide magnification metadata, else 512')
 @click.option('--model-dir', default='./model-server/DeepLIIF_Latest_Model/')
 @click.option('--region-size', default=20000, type=int)
 @click.option('--version', default=4, type=click.Choice(['3', '4', '5', '6']))
@@ -416,6 +434,7 @@ def wsi_cells(input_dir, filename, output_dir, tile_size, model_dir,
     """Per-cell encoded data for a WSI (global coordinates, averaged
     auto-thresholds) — the reference infer_cells_for_wsi path."""
     from .utils.wsi import infer_cells_for_wsi
+    tile_size = _resolve_wsi_tile_size(tile_size, input_dir, filename)
     results = infer_cells_for_wsi(input_dir, filename, output_dir, model_dir,
                                   tile_size, region_size, version=int(version))
     click.echo(f'{len(results["cells"])} cells -> {output_dir}')

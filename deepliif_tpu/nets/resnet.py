@@ -60,6 +60,24 @@ def init(key, input_nc, output_nc, ngf=64, n_blocks=9, norm='batch',
     return p
 
 
+def _fused_ok(x, norm, padding_type, train, use_dropout):
+    """Gate for the fused Pallas resblock path: inference only, affine
+    batch-stat norm (no conv bias), reflect/zero padding, TPU backend, and
+    shapes that tile onto the hardware (see ops.fused_resblock)."""
+    import os
+    flag = os.environ.get('DEEPLIIF_FUSED', 'auto')
+    if flag == '0':
+        return False
+    if train or norm != 'batch' or padding_type not in ('reflect', 'zero'):
+        return False
+    _, h, w, c = x.shape
+    if c % 128 != 0 or w % 16 != 0 or h % 16 != 0:
+        return False
+    if flag == '1':
+        return True
+    return jax.default_backend() == 'tpu'
+
+
 def apply(p, x, *, n_blocks=9, norm='batch', use_dropout=True,
           padding_type='reflect', upsample='convtranspose',
           train=False, rng=None, dtype=None):
@@ -77,22 +95,33 @@ def apply(p, x, *, n_blocks=9, norm='batch', use_dropout=True,
         x = L.apply_norm(x, p[f'down{i}_norm'], norm, train)
         x = L.relu(x)
 
-    rngs = jax.random.split(rng, n_blocks) if (train and use_dropout and rng is not None) else [None] * n_blocks
-    res_pad = 0 if padding_type in ('reflect', 'replicate') else 1
-    for i in range(n_blocks):
-        h = x
-        if res_pad == 0:
-            h = L.pad2d(h, 1, padding_type)
-        h = L.conv2d(h, p[f'res{i}_conv1'], 1, res_pad)
-        h = L.apply_norm(h, p[f'res{i}_norm1'], norm, train)
-        h = L.relu(h)
-        if use_dropout:
-            h = L.dropout(h, rngs[i], 0.5, train)
-        if res_pad == 0:
-            h = L.pad2d(h, 1, padding_type)
-        h = L.conv2d(h, p[f'res{i}_conv2'], 1, res_pad)
-        h = L.apply_norm(h, p[f'res{i}_norm2'], norm, train)
-        x = x + h
+    if _fused_ok(x, norm, padding_type, train, use_dropout):
+        from ..ops import fused_resblock as FR
+        blocks = [{'w1': p[f'res{i}_conv1']['w'].astype(x.dtype),
+                   'norm1': p[f'res{i}_norm1'],
+                   'w2': p[f'res{i}_conv2']['w'].astype(x.dtype),
+                   'norm2': p[f'res{i}_norm2']}
+                  for i in range(n_blocks)]
+        # off-TPU (DEEPLIIF_FUSED=1 in tests) runs the kernel interpreted
+        x = FR.resblock_chain(x, blocks, padding=padding_type,
+                              interpret=jax.default_backend() != 'tpu')
+    else:
+        rngs = jax.random.split(rng, n_blocks) if (train and use_dropout and rng is not None) else [None] * n_blocks
+        res_pad = 0 if padding_type in ('reflect', 'replicate') else 1
+        for i in range(n_blocks):
+            h = x
+            if res_pad == 0:
+                h = L.pad2d(h, 1, padding_type)
+            h = L.conv2d(h, p[f'res{i}_conv1'], 1, res_pad)
+            h = L.apply_norm(h, p[f'res{i}_norm1'], norm, train)
+            h = L.relu(h)
+            if use_dropout:
+                h = L.dropout(h, rngs[i], 0.5, train)
+            if res_pad == 0:
+                h = L.pad2d(h, 1, padding_type)
+            h = L.conv2d(h, p[f'res{i}_conv2'], 1, res_pad)
+            h = L.apply_norm(h, p[f'res{i}_norm2'], norm, train)
+            x = x + h
 
     for i in range(2):
         if upsample == 'convtranspose':

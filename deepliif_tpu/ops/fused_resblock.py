@@ -1,0 +1,199 @@
+"""Fused Pallas kernel for the ResNet-trunk hot loop (inference).
+
+The reference resblock is pad -> conv3x3 -> norm -> ReLU -> pad -> conv3x3
+-> norm -> +skip (reference networks.py:456-513). At inference our norm is
+per-sample batch-stat norm (see nets.layers.batch_stat_norm), which XLA
+lowers as conv / full-tensor stats reduce / full-tensor normalize — three
+HBM round trips over a (B,128,128,256) activation per conv. The resblocks
+are ~88% of the translator FLOPs and dominate ensemble HBM traffic
+(experiments/profile_ensemble.json).
+
+This kernel fuses, in one VMEM pass per row-chunk:
+
+    u   = relu(x * in_scale + in_bias)        # previous norm, optional
+    y   = conv3x3(u, w)                       # 9 shifted MXU matmuls
+    st += (sum(y), sum(y^2)) per channel      # stats for the NEXT norm
+
+so each intermediate activation is written once and read once. The norm
+finalize (mean/var -> scale/bias per (n, c)) is a tiny XLA op between
+kernel calls, and the residual add + final norm application is one fused
+XLA elementwise pass.
+
+Grid: (S, H/CH) — samples x row chunks; row chunks are DMA'd from HBM with
+a 1-row halo on each side (reflect or zero filled at image borders, torch
+padding semantics), the column halo is built in VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(scale_ref, bias_ref, x_ref, w_ref, y_ref, st_ref, blk, sem,
+            *, ch, h, w, c, padding, in_relu, has_affine, out_dtype):
+    s = pl.program_id(0)
+    r = pl.program_id(1)
+    r0 = r * ch
+
+    # ---- DMA the row chunk + 1-row halos from HBM into VMEM
+    body = pltpu.make_async_copy(
+        x_ref.at[s, pl.ds(r0, ch)], blk.at[pl.ds(1, ch)], sem.at[0])
+    body.start()
+    # halo rows: clamped/reflected source rows (always a valid in-range copy;
+    # zero-padding overwrites after the wait)
+    top_src = jnp.where(r0 == 0, 1 if padding == 'reflect' else 0, r0 - 1)
+    bot_src = jnp.where(r0 + ch >= h,
+                        h - 2 if padding == 'reflect' else h - 1,
+                        r0 + ch)
+    top = pltpu.make_async_copy(
+        x_ref.at[s, pl.ds(top_src, 1)], blk.at[pl.ds(0, 1)], sem.at[1])
+    bot = pltpu.make_async_copy(
+        x_ref.at[s, pl.ds(bot_src, 1)], blk.at[pl.ds(ch + 1, 1)], sem.at[2])
+    top.start()
+    bot.start()
+    body.wait()
+    top.wait()
+    bot.wait()
+
+    u = blk[:]
+    if has_affine:
+        sc = scale_ref[0].astype(u.dtype)   # (C,)
+        bi = bias_ref[0].astype(u.dtype)
+        u = u * sc + bi
+    if in_relu:
+        u = jnp.maximum(u, 0)
+
+    if padding == 'zero':
+        # zero padding applies to the TRANSFORMED input (torch pads after
+        # norm/relu), so zero the border halo rows after the affine
+        row = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+        border = ((r0 == 0) & (row == 0)) | ((r0 + ch >= h) & (row == ch + 1))
+        u = jnp.where(border, jnp.zeros_like(u), u)
+
+    # ---- column halo variants (reflect/zero at image borders)
+    if padding == 'reflect':
+        left = jnp.concatenate([u[:, 1:2], u[:, :-1]], axis=1)
+        right = jnp.concatenate([u[:, 1:], u[:, w - 2:w - 1]], axis=1)
+    else:
+        zcol = jnp.zeros_like(u[:, :1])
+        left = jnp.concatenate([zcol, u[:, :-1]], axis=1)
+        right = jnp.concatenate([u[:, 1:], zcol], axis=1)
+
+    # ---- 9 shifted matmuls on the MXU, f32 accumulation
+    acc = jnp.zeros((ch, w, c), jnp.float32)
+    dn = (((2,), (0,)), ((), ()))
+    for dy in range(3):
+        for dx, src in ((0, left), (1, u), (2, right)):
+            lhs = src[dy:dy + ch]
+            acc = acc + jax.lax.dot_general(
+                lhs, w_ref[dy, dx], dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+
+    y_ref[0] = acc.astype(out_dtype)
+
+    # ---- per-channel stats accumulated across row chunks of this sample
+    ssum = jnp.sum(acc, axis=(0, 1))
+    ssq = jnp.sum(acc * acc, axis=(0, 1))
+    st = jnp.stack([ssum, ssq])
+
+    @pl.when(r == 0)
+    def _():
+        st_ref[0] = st
+
+    @pl.when(r > 0)
+    def _():
+        st_ref[0] += st
+
+
+def conv3x3_stats(x, w, *, padding='reflect', in_scale=None, in_bias=None,
+                  in_relu=False, chunk_rows=16, interpret=False):
+    """Fused (affine -> relu ->) conv3x3 (stride 1, 'same' via reflect/zero
+    pad) + per-(sample, channel) output statistics.
+
+    x: (S, H, W, C); w: (3, 3, C, C); in_scale/in_bias: (S, C) or None.
+    Returns (y (S,H,W,C) in x.dtype, stats (S,2,C) f32 [sum, sum-of-squares]).
+    """
+    s_n, h, w_n, c = x.shape
+    ch = min(chunk_rows, h)
+    assert h % ch == 0, (h, ch)
+    assert padding in ('reflect', 'zero')
+    has_affine = in_scale is not None
+    if not has_affine:
+        in_scale = jnp.zeros((s_n, c), jnp.float32)
+        in_bias = jnp.zeros((s_n, c), jnp.float32)
+
+    kern = functools.partial(
+        _kernel, ch=ch, h=h, w=w_n, c=c, padding=padding, in_relu=in_relu,
+        has_affine=has_affine, out_dtype=x.dtype)
+
+    y, st = pl.pallas_call(
+        kern,
+        grid=(s_n, h // ch),
+        in_specs=[
+            pl.BlockSpec((1, c), lambda s, r: (s, 0),
+                         memory_space=pltpu.VMEM),      # in_scale
+            pl.BlockSpec((1, c), lambda s, r: (s, 0),
+                         memory_space=pltpu.VMEM),      # in_bias
+            pl.BlockSpec(memory_space=pltpu.ANY),       # x stays in HBM
+            pl.BlockSpec((3, 3, c, c), lambda s, r: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),      # weights resident
+        ],
+        out_specs=(
+            pl.BlockSpec((1, ch, w_n, c), lambda s, r: (s, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, c), lambda s, r: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((s_n, h, w_n, c), x.dtype),
+            jax.ShapeDtypeStruct((s_n, 2, c), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ch + 2, w_n, c), x.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(in_scale, in_bias, x, w)
+    return y, st
+
+
+def finalize_norm(st, norm_p, h, w, eps=1e-5):
+    """stats (S,2,C) -> per-(sample, channel) (scale, bias) applying the
+    affine batch-stat norm (biased variance, reference BatchNorm2d with
+    batch statistics)."""
+    n = float(h * w)
+    mean = st[:, 0] / n
+    var = st[:, 1] / n - mean * mean
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    scale = inv * norm_p['scale'][None]
+    bias = norm_p['bias'][None] - mean * scale
+    return scale, bias
+
+
+def resblock_chain(x, blocks, *, padding='reflect', eps=1e-5,
+                   interpret=False):
+    """Run a chain of inference resblocks with the fused kernel.
+
+    blocks: list of dicts {'w1', 'norm1', 'w2', 'norm2'} where w* are HWIO
+    (3,3,C,C) kernels and norm* are {'scale','bias'} affine params.
+    Semantics identical (mod f32-accumulation rounding) to the unfused
+    nets.resnet loop with norm='batch', per-sample stats, no conv bias,
+    dropout inactive.
+    """
+    s_n, h, w_n, _ = x.shape
+    for b in blocks:
+        h1, st1 = conv3x3_stats(x, b['w1'], padding=padding,
+                                interpret=interpret)
+        sc1, bi1 = finalize_norm(st1, b['norm1'], h, w_n, eps)
+        h2, st2 = conv3x3_stats(h1, b['w2'], padding=padding,
+                                in_scale=sc1, in_bias=bi1, in_relu=True,
+                                interpret=interpret)
+        sc2, bi2 = finalize_norm(st2, b['norm2'], h, w_n, eps)
+        x = x + (h2 * sc2[:, None, None].astype(h2.dtype)
+                 + bi2[:, None, None].astype(h2.dtype))
+    return x

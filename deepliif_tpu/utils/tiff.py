@@ -1,22 +1,30 @@
 """Minimal self-contained tiled TIFF/BigTIFF I/O.
 
 The reference writes pyramidal BigTIFFs via tifffile and reads WSIs via a
-zarr view over tiled TIFF pages (reference util/__init__.py:559-691,
-774-792). Neither tifffile nor zarr is available in this environment, so
-this module implements the needed subset directly:
+zarr view over tiled TIFF pages with a Bio-Formats (JVM) fallback for
+pathology formats (reference util/__init__.py:559-691, 774-792). Neither
+tifffile nor zarr nor a JVM is available in this environment, so this module
+implements the needed subset directly:
 
-  * write_pyramid_tiff: tiled (256px) BigTIFF, deflate-compressed, RGB,
-    with /2 /4 /8 reduced-resolution pyramid pages — the same layout as the
-    reference's write_big_tiff_file;
+  * write_pyramid_tiff: tiled (256px) BigTIFF, deflate- or JPEG-compressed,
+    RGB, with /2 /4 /8 reduced-resolution pyramid pages — the same layout as
+    the reference's write_big_tiff_file;
   * TiledTiffReader: random-access region reads that decode only the tiles
-    intersecting the request — the WSI fast path (bounded memory).
+    or strips intersecting the request — the WSI fast path (bounded memory).
+    Supports the layouts real slides use: classic and BigTIFF, tile- and
+    strip-organized pages, uncompressed / deflate / JPEG (incl. Aperio .svs
+    abbreviated-JPEG tiles with a shared JPEGTables segment), RGB(A) and
+    YCbCr-in-JPEG photometrics;
+  * read_description / parse_magnification: objective magnification from
+    Aperio ImageDescription ("AppMag = 40") or OME-XML NominalMagnification
+    (the reference get_wsi_resolution, models/__init__.py:730-782).
 
-Only the tags this framework writes are supported by the reader; PIL remains
-the fallback for foreign files.
+PIL remains the fallback for non-TIFF files.
 """
 
 from __future__ import annotations
 
+import io
 import struct
 import zlib
 
@@ -26,19 +34,26 @@ import numpy as np
 IMAGE_WIDTH = 256
 IMAGE_LENGTH = 257
 BITS_PER_SAMPLE = 258
-COMPRESSION = 259          # 1 = none, 8 = deflate
-PHOTOMETRIC = 262          # 2 = RGB
+COMPRESSION = 259          # 1 = none, 7 = JPEG, 8 = deflate
+PHOTOMETRIC = 262          # 2 = RGB, 6 = YCbCr
+STRIP_OFFSETS = 273
+ROWS_PER_STRIP = 278
+STRIP_BYTE_COUNTS = 279
 SAMPLES_PER_PIXEL = 277
 PLANAR_CONFIG = 284
 TILE_WIDTH = 322
 TILE_LENGTH = 323
 TILE_OFFSETS = 324
 TILE_BYTE_COUNTS = 325
+JPEG_TABLES = 347
 NEW_SUBFILE_TYPE = 254
 SAMPLE_FORMAT = 339
 
+TYPE_BYTE = 1
+TYPE_ASCII = 2
 TYPE_SHORT = 3    # uint16
 TYPE_LONG = 4     # uint32
+TYPE_UNDEFINED = 7
 TYPE_LONG8 = 16   # uint64 (BigTIFF)
 
 TILE = 256
@@ -51,6 +66,50 @@ def _tile_grid(h, w, tile=TILE):
 
 
 IMAGE_DESCRIPTION = 270
+
+
+def merge_jpeg_tables(tables, tile_data):
+    """Combine an abbreviated JPEG tile stream with the page's shared
+    JPEGTables segment (TIFF tag 347; the Aperio .svs layout): the tables
+    stream is SOI..tables..EOI, the tile is SOI..scan..EOI — insert the
+    tables right after the tile's SOI."""
+    if not tables or len(tables) < 4:
+        return tile_data
+    body = tables[2:]
+    if body[-2:] == b'\xff\xd9':
+        body = body[:-2]
+    if tile_data[:2] != b'\xff\xd8':
+        return tile_data
+    return tile_data[:2] + body + tile_data[2:]
+
+
+def _decode_block(data, page, h, w):
+    """Decode one tile/strip payload to (h, w, spp) uint8."""
+    comp = page['compression']
+    spp = page['spp']
+    if comp == 1:
+        arr = np.frombuffer(data, np.uint8)
+    elif comp in (8, 32946):  # deflate / old deflate
+        arr = np.frombuffer(zlib.decompress(data), np.uint8)
+    elif comp == 7:  # JPEG ('new-style'); PIL handles YCbCr->RGB
+        from PIL import Image
+        stream = merge_jpeg_tables(page.get('jpeg_tables'), data)
+        img = Image.open(io.BytesIO(stream))
+        out = np.asarray(img.convert('RGB') if spp == 3 else img)
+        if out.ndim == 2:
+            out = out[:, :, None]
+        # JPEG streams carry their own dimensions (may be padded tiles)
+        full = np.zeros((h, w, out.shape[2]), np.uint8)
+        full[:min(h, out.shape[0]), :min(w, out.shape[1])] = \
+            out[:h, :w]
+        return full
+    else:
+        raise ValueError(f'unsupported TIFF compression {comp} '
+                         '(supported: none, deflate, JPEG)')
+    n = h * w * spp
+    if arr.size < n:
+        arr = np.concatenate([arr, np.zeros(n - arr.size, np.uint8)])
+    return arr[:n].reshape(h, w, spp)
 
 
 def make_ome_xml(size_x, size_y, channel_names=None, size_c=3,
@@ -71,17 +130,38 @@ def make_ome_xml(size_x, size_y, channel_names=None, size_c=3,
 
 
 def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
-                       compression=True, channel_names=None):
-    """Write an HxWx3 uint8 canvas as a pyramidal tiled BigTIFF."""
-    canvas = np.ascontiguousarray(canvas, np.uint8)
+                       compression=True, channel_names=None,
+                       description=None, jpeg_quality=85):
+    """Write an HxWx3 uint8 canvas as a pyramidal tiled BigTIFF.
+
+    compression: True/'deflate' | 'jpeg' (per-tile standalone JPEG streams,
+    the .svs tile layout) | False. ``description`` overrides the page-0
+    ImageDescription (e.g. an Aperio-style 'AppMag = 40' string).
+
+    ``canvas`` may be a np.memmap: pages are sliced tile-by-tile, so the
+    full-resolution image is never materialized in RAM."""
+    if not (isinstance(canvas, np.ndarray) and canvas.dtype == np.uint8
+            and canvas.ndim == 3):
+        canvas = np.ascontiguousarray(canvas, np.uint8)
     if canvas.ndim == 2:
         canvas = np.repeat(canvas[..., None], 3, -1)
+    comp_jpeg = compression == 'jpeg'
     pages = []
     for f in levels:
         if f == 1:
             pages.append(canvas)
         else:
             pages.append(canvas[::f, ::f])  # nearest decimation (fast)
+
+    def encode_tile(t):
+        if comp_jpeg:
+            from PIL import Image
+            buf = io.BytesIO()
+            Image.fromarray(np.ascontiguousarray(t)).save(
+                buf, 'JPEG', quality=jpeg_quality)
+            return buf.getvalue()
+        raw = t.tobytes()
+        return zlib.compress(raw, 6) if compression else raw
 
     with open(path, 'wb') as fh:
         # BigTIFF header
@@ -100,8 +180,7 @@ def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
                         pad = np.zeros((tile, tile, 3), np.uint8)
                         pad[:t.shape[0], :t.shape[1]] = t
                         t = pad
-                    raw = t.tobytes()
-                    data = zlib.compress(raw, 6) if compression else raw
+                    data = encode_tile(t)
                     offsets.append(fh.tell())
                     counts.append(len(data))
                     fh.write(data)
@@ -114,8 +193,9 @@ def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
             cnt_arr_off = fh.tell()
             fh.write(struct.pack(f'<{len(counts)}Q', *counts))
             desc_off = desc_len = 0
-            if page_idx == 0 and channel_names:
-                desc = make_ome_xml(w, h, channel_names).encode() + b'\x00'
+            if page_idx == 0 and (channel_names or description):
+                desc = (description.encode() if description
+                        else make_ome_xml(w, h, channel_names).encode()) + b'\x00'
                 desc_off = fh.tell()
                 desc_len = len(desc)
                 fh.write(desc)
@@ -132,7 +212,8 @@ def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
             entry(IMAGE_WIDTH, TYPE_LONG, 1, w)
             entry(IMAGE_LENGTH, TYPE_LONG, 1, h)
             entry(BITS_PER_SAMPLE, TYPE_SHORT, 3, bps_off)
-            entry(COMPRESSION, TYPE_SHORT, 1, 8 if compression else 1)
+            entry(COMPRESSION, TYPE_SHORT, 1,
+                  7 if comp_jpeg else (8 if compression else 1))
             entry(PHOTOMETRIC, TYPE_SHORT, 1, 2)
             entry(SAMPLES_PER_PIXEL, TYPE_SHORT, 1, 3)
             entry(PLANAR_CONFIG, TYPE_SHORT, 1, 1)
@@ -156,6 +237,27 @@ def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
             fh.seek(end)
             prev_next_field = next_field_pos
     return path
+
+
+def parse_magnification(description):
+    """Objective magnification from a slide ImageDescription string:
+    Aperio 'AppMag = 40', OME-XML NominalMagnification, or a generic
+    'Magnification' key (reference get_wsi_resolution reads this via
+    Bio-Formats OME metadata, models/__init__.py:730-782)."""
+    import re
+    if not description:
+        return None
+    for pat in (r'AppMag\s*=\s*([0-9.]+)',
+                r'NominalMagnification\s*=\s*"?([0-9.]+)',
+                r'Magnification\s*[=:]\s*"?([0-9.]+)',
+                r'\|Mag\s*=\s*([0-9.]+)'):
+        m = re.search(pat, description)
+        if m:
+            try:
+                return float(m.group(1))
+            except ValueError:
+                continue
+    return None
 
 
 class TiledTiffReader:
@@ -182,6 +284,16 @@ class TiledTiffReader:
             raise ValueError('no TIFF pages found')
 
     def _read_value_array(self, typ, count, raw):
+        if typ in (TYPE_BYTE, TYPE_ASCII, TYPE_UNDEFINED):
+            inline_cap = 8 if self.big else 4
+            if count <= inline_cap:
+                return bytes(raw[:count])
+            off = struct.unpack('<Q' if self.big else '<I', raw[:inline_cap])[0]
+            pos = self.fh.tell()
+            self.fh.seek(off)
+            data = self.fh.read(count)
+            self.fh.seek(pos)
+            return data
         fmt = {TYPE_SHORT: 'H', TYPE_LONG: 'I', TYPE_LONG8: 'Q'}[typ]
         size = struct.calcsize('<' + fmt) * count
         inline_cap = 8 if self.big else 4
@@ -220,30 +332,52 @@ class TiledTiffReader:
                 typ, count, val = tags[tag]
                 return self._read_value_array(typ, count, val)
 
+            desc = get(IMAGE_DESCRIPTION)
+            if isinstance(desc, bytes):
+                desc = desc.rstrip(b'\x00').decode('utf-8', errors='replace')
             page = {
                 'width': get(IMAGE_WIDTH, (0,))[0],
                 'height': get(IMAGE_LENGTH, (0,))[0],
                 'tile_w': (get(TILE_WIDTH) or (None,))[0],
                 'tile_h': (get(TILE_LENGTH) or (None,))[0],
                 'compression': get(COMPRESSION, (1,))[0],
+                'photometric': get(PHOTOMETRIC, (2,))[0],
                 'spp': get(SAMPLES_PER_PIXEL, (1,))[0],
                 'offsets': get(TILE_OFFSETS),
                 'counts': get(TILE_BYTE_COUNTS),
+                'strip_offsets': get(STRIP_OFFSETS),
+                'strip_counts': get(STRIP_BYTE_COUNTS),
+                'rows_per_strip': (get(ROWS_PER_STRIP) or (None,))[0],
+                'jpeg_tables': get(JPEG_TABLES),
+                'description': desc,
             }
             pages.append(page)
         return pages
+
+    def read_description(self, level=0):
+        return self.pages[level].get('description')
 
     @property
     def size(self):
         return (self.pages[0]['width'], self.pages[0]['height'])
 
     def read_region(self, x, y, w, h, level=0):
-        """Decode only the tiles intersecting (x, y, w, h) on ``level``."""
+        """Decode only the tiles/strips intersecting (x, y, w, h) on
+        ``level``; returns (h, w, 3) uint8 (alpha dropped)."""
         page = self.pages[level]
+        if page['tile_w'] is not None and page['offsets']:
+            out = self._read_region_tiled(page, x, y, w, h)
+        elif page['strip_offsets']:
+            out = self._read_region_strips(page, x, y, w, h)
+        else:
+            raise ValueError('page has neither tiles nor strips')
+        if out.shape[2] == 1:
+            out = np.repeat(out, 3, axis=2)
+        return out[:, :, :3]
+
+    def _read_region_tiled(self, page, x, y, w, h):
         tw, th = page['tile_w'], page['tile_h']
-        if tw is None:
-            raise ValueError('page is not tiled')
-        spp = page['spp']
+        spp = 3 if page['compression'] == 7 else page['spp']
         ty, tx = _tile_grid(page['height'], page['width'], tw)
         out = np.zeros((h, w, spp), np.uint8)
         j0, j1 = y // th, min((y + h - 1) // th, ty - 1)
@@ -253,15 +387,32 @@ class TiledTiffReader:
                 idx = j * tx + i
                 self.fh.seek(page['offsets'][idx])
                 data = self.fh.read(page['counts'][idx])
-                if page['compression'] == 8:
-                    data = zlib.decompress(data)
-                tile = np.frombuffer(data, np.uint8).reshape(th, tw, spp)
+                tile = _decode_block(data, page, th, tw)
                 ty0, tx0 = j * th, i * tw
                 sy0, sx0 = max(y, ty0), max(x, tx0)
                 sy1 = min(y + h, ty0 + th)
                 sx1 = min(x + w, tx0 + tw)
                 out[sy0 - y:sy1 - y, sx0 - x:sx1 - x] = \
-                    tile[sy0 - ty0:sy1 - ty0, sx0 - tx0:sx1 - tx0]
+                    tile[sy0 - ty0:sy1 - ty0, sx0 - tx0:sx1 - tx0, :spp]
+        return out
+
+    def _read_region_strips(self, page, x, y, w, h):
+        rps = page['rows_per_strip'] or page['height']
+        spp = 3 if page['compression'] == 7 else page['spp']
+        width = page['width']
+        out = np.zeros((h, w, spp), np.uint8)
+        s0 = y // rps
+        s1 = min((y + h - 1) // rps, len(page['strip_offsets']) - 1)
+        for s in range(s0, s1 + 1):
+            self.fh.seek(page['strip_offsets'][s])
+            data = self.fh.read(page['strip_counts'][s])
+            rows = min(rps, page['height'] - s * rps)
+            strip = _decode_block(data, page, rows, width)
+            sy0 = max(y, s * rps)
+            sy1 = min(y + h, s * rps + rows)
+            sx0, sx1 = max(x, 0), min(x + w, width)
+            out[sy0 - y:sy1 - y, sx0 - x:sx1 - x] = \
+                strip[sy0 - s * rps:sy1 - s * rps, sx0:sx1, :spp]
         return out
 
     def close(self):

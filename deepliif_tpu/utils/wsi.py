@@ -36,7 +36,7 @@ class WSIReader:
         self.path = path
         self._tiled = None
         self._img = None
-        if path.lower().endswith(('.tif', '.tiff')):
+        if path.lower().endswith(('.tif', '.tiff', '.svs', '.ndpi')):
             try:
                 from .tiff import TiledTiffReader
                 self._tiled = TiledTiffReader(path)
@@ -49,7 +49,19 @@ class WSIReader:
 
     def get_information(self):
         w, h = self.size
-        return {'size_x': w, 'size_y': h, 'pixel_type': 'uint8'}
+        return {'size_x': w, 'size_y': h, 'pixel_type': 'uint8',
+                'magnification': self.get_magnification()}
+
+    def get_magnification(self):
+        """Objective magnification from slide metadata, or None."""
+        from .tiff import parse_magnification
+        desc = None
+        if self._tiled is not None:
+            desc = self._tiled.read_description()
+        elif self._img is not None:
+            desc = (self._img.tag_v2.get(270)
+                    if hasattr(self._img, 'tag_v2') else None)
+        return parse_magnification(desc)
 
     def read_region(self, x, y, w, h):
         """Read a region; on failure fall back tile-by-tile and finally to
@@ -86,10 +98,21 @@ class WSIReader:
 
 def get_wsi_resolution(path_or_mag, tile_size_base=512):
     """Magnification -> tile size = round(mag/40 * 512) (reference
-    models/__init__.py:730-782)."""
+    models/__init__.py:730-782). Accepts a numeric magnification OR a slide
+    path, in which case the objective magnification is read from the file's
+    metadata (Aperio AppMag / OME NominalMagnification)."""
+    mag = None
     try:
         mag = float(path_or_mag)
     except (TypeError, ValueError):
+        if isinstance(path_or_mag, str) and os.path.exists(path_or_mag):
+            try:
+                reader = WSIReader(path_or_mag)
+                mag = reader.get_magnification()
+                reader.close()
+            except Exception:
+                mag = None
+    if mag is None:
         return None
     return int(round(mag / 40.0 * tile_size_base))
 
@@ -108,6 +131,18 @@ def infer_results_for_wsi(input_dir, filename, output_dir, model_dir,
     print(f'WSI {filename}: {size_x} x {size_y}, region_size {region_size}')
 
     session = init_nets(model_dir)
+    # full-slide canvases are disk-backed (np.memmap) so peak RSS stays
+    # O(region), not O(slide) — a 100k^2 slide would need 30 GB per modality
+    # in RAM otherwise (the reference has the same flaw,
+    # models/__init__.py:708-712)
+    import tempfile
+    canvas_dir = tempfile.mkdtemp(prefix='deepliif_wsi_', dir=output_dir)
+
+    def _new_canvas(name):
+        return np.memmap(os.path.join(canvas_dir, f'{name}.raw'),
+                         dtype=np.uint8, mode='w+',
+                         shape=(size_y, size_x, 3))
+
     canvases = {}
     scoring_total = {'num_total': 0, 'num_pos': 0, 'num_neg': 0}
 
@@ -139,7 +174,7 @@ def infer_results_for_wsi(input_dir, filename, output_dir, model_dir,
                                            return_seg_intermediate=seg_intermediate)
         for name, im in images.items():
             if name not in canvases:
-                canvases[name] = np.zeros((size_y, size_x, 3), np.uint8)
+                canvases[name] = _new_canvas(name)
             canvases[name][ry:ry + rh, rx:rx + rw] = np.asarray(im)[:rh, :rw]
         if scoring:
             for k in scoring_total:
@@ -149,6 +184,9 @@ def infer_results_for_wsi(input_dir, filename, output_dir, model_dir,
     stem = filename.rsplit('.', 1)[0]
     for name, canvas in canvases.items():
         _write_pyramid(os.path.join(output_dir, f'{stem}_{name}.ome.tiff'), canvas)
+    import shutil
+    del canvases
+    shutil.rmtree(canvas_dir, ignore_errors=True)
     scoring_total['percent_pos'] = (
         round(scoring_total['num_pos'] / scoring_total['num_total'] * 100, 1)
         if scoring_total['num_total'] > 0 else 0)

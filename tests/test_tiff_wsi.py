@@ -102,3 +102,76 @@ def test_test_wsi_command_end_to_end(tmp_path):
     r = TiledTiffReader(str(out / seg_file))
     assert r.size == (260, 200)
     r.close()
+
+
+# ---------------------------------------------------------------------------
+# SVS-class layouts (round 2): JPEG tiles, strips, magnification metadata
+# ---------------------------------------------------------------------------
+
+def _svs_fixture(path, h=600, w=700, mag=20):
+    """Synthetic .svs-layout slide: JPEG-compressed 256px tiles + Aperio
+    ImageDescription with AppMag."""
+    from deepliif_tpu.utils.tiff import write_pyramid_tiff
+    rng = np.random.default_rng(0)
+    # smooth-ish content so JPEG stays close
+    base = rng.integers(60, 200, (h // 50 + 1, w // 50 + 1, 3), np.uint8)
+    canvas = np.asarray(Image.fromarray(base).resize((w, h), Image.BILINEAR))
+    desc = (f'Aperio Image Library v12.0.15\n{w}x{h} [0,0 {w}x{h}] '
+            f'(256x256) JPEG/RGB Q=85|AppMag = {mag}|MPP = 0.5')
+    write_pyramid_tiff(path, canvas, levels=(1, 4), compression='jpeg',
+                       description=desc)
+    return canvas
+
+
+def test_jpeg_tiled_svs_layout_region_reads(tmp_path):
+    """JPEG-tiled (SVS-layout) slides read region-correct (lossy-close)."""
+    from deepliif_tpu.utils.tiff import TiledTiffReader
+    p = str(tmp_path / 'slide.svs')
+    canvas = _svs_fixture(p)
+    r = TiledTiffReader(p)
+    assert r.size == (700, 600)
+    # straddles tile borders and image edge
+    for (x, y, w, h) in [(0, 0, 300, 300), (200, 100, 400, 300),
+                         (500, 400, 200, 200)]:
+        region = r.read_region(x, y, w, h)
+        ref = canvas[y:y + h, x:x + w]
+        err = np.abs(region.astype(int) - ref.astype(int)).mean()
+        assert err < 6.0, (x, y, err)  # JPEG quality-85 tolerance
+    r.close()
+
+
+def test_svs_magnification_autodetect(tmp_path):
+    from deepliif_tpu.utils.wsi import WSIReader, get_wsi_resolution
+    p = str(tmp_path / 'slide.svs')
+    _svs_fixture(p, mag=20)
+    reader = WSIReader(p)
+    assert reader.get_magnification() == 20.0
+    reader.close()
+    # 20x -> tile size 256 (reference models/__init__.py:730-782)
+    assert get_wsi_resolution(p) == 256
+    assert get_wsi_resolution('40') == 512
+    assert get_wsi_resolution(str(tmp_path / 'nope.svs')) is None
+
+
+def test_ome_nominal_magnification_parsing():
+    from deepliif_tpu.utils.tiff import parse_magnification
+    ome = ('<OME><Instrument><Objective ID="Objective:0" '
+           'NominalMagnification="40.0"/></Instrument></OME>')
+    assert parse_magnification(ome) == 40.0
+    assert parse_magnification('Magnification: 10') == 10.0
+    assert parse_magnification('no info here') is None
+    assert parse_magnification(None) is None
+
+
+def test_strip_organized_tiff_reads(tmp_path):
+    """PIL writes strip-organized TIFFs; our reader must read them exactly."""
+    from deepliif_tpu.utils.tiff import TiledTiffReader
+    rng = np.random.default_rng(1)
+    canvas = rng.integers(0, 255, (150, 200, 3), np.uint8)
+    p = str(tmp_path / 'strips.tif')
+    Image.fromarray(canvas).save(p)  # uncompressed strips
+    r = TiledTiffReader(p)
+    assert r.size == (200, 150)
+    region = r.read_region(30, 40, 100, 90)
+    np.testing.assert_array_equal(region, canvas[40:130, 30:130])
+    r.close()
