@@ -573,20 +573,22 @@ def serve(model_dir, host, port, max_batch):
 @click.option('--pickle-dir', required=True,
               help='directory where the pickled snapshots are stored')
 def visualize(pickle_dir):
-    """Poll pickled training snapshots and regenerate plots
-    (reference cli.py:1018-1052 replays into visdom; we render PNG/JSON)."""
+    """Poll pickled training snapshots and regenerate plots AND the image
+    gallery (reference cli.py:1018-1052 replays both into visdom; we render
+    JSON + a PNG/HTML gallery under <pickle-dir>/web/)."""
     import pickle
     import time as _time
     path_plot = os.path.join(pickle_dir, 'plot_current_losses.pickle')
+    path_disp = os.path.join(pickle_dir, 'display_current_results.pickle')
     click.echo(f'watching {pickle_dir} (ctrl-c to stop)')
-    last_mtime = 0
+    mtimes = {path_plot: 0, path_disp: 0}
     history = []
     while True:
         try:
             if os.path.exists(path_plot):
                 mtime = os.path.getmtime(path_plot)
-                if mtime > last_mtime:
-                    last_mtime = mtime
+                if mtime > mtimes[path_plot]:
+                    mtimes[path_plot] = mtime
                     with open(path_plot, 'rb') as f:
                         rec = pickle.load(f)
                     history.append(rec)
@@ -595,9 +597,37 @@ def visualize(pickle_dir):
                         json.dump(history, f)
                     click.echo(f'update @ x={rec["x"]:.3f}: '
                                + ' '.join(f'{k}={v:.3f}' for k, v in rec['losses'].items()))
+            if os.path.exists(path_disp):
+                mtime = os.path.getmtime(path_disp)
+                if mtime > mtimes[path_disp]:
+                    mtimes[path_disp] = mtime
+                    with open(path_disp, 'rb') as f:
+                        disp = pickle.load(f)
+                    replay_display_snapshot(pickle_dir, disp)
+                    click.echo(f'image grid @ epoch {disp.get("epoch")}: '
+                               + ', '.join(disp.get('visuals', {})))
             _time.sleep(3)
         except KeyboardInterrupt:
             break
+
+
+def replay_display_snapshot(pickle_dir, disp):
+    """Write a display_current_results snapshot as PNGs + HTML gallery."""
+    from PIL import Image
+    web = os.path.join(pickle_dir, 'web')
+    img_dir = os.path.join(web, 'images')
+    ensure_exists(img_dir)
+    epoch = disp.get('epoch', 0)
+    for label, arr in disp.get('visuals', {}).items():
+        Image.fromarray(np.asarray(arr)).save(
+            os.path.join(img_dir, f'epoch{epoch:03d}_{label}.png'))
+    files = sorted(os.listdir(img_dir), reverse=True)
+    rows = ''.join(
+        f'<div style="display:inline-block;margin:4px;text-align:center">'
+        f'<img src="images/{f}" width="256"/><br/>{f}</div>'
+        for f in files[:200])
+    with open(os.path.join(web, 'index.html'), 'w') as f:
+        f.write(f'<html><body><h1>replay</h1>{rows}</body></html>')
 
 
 if __name__ == '__main__':

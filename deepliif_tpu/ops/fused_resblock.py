@@ -62,8 +62,8 @@ def _kernel(scale_ref, bias_ref, x_ref, w_ref, y_ref, st_ref, blk, sem,
 
     u = blk[:]
     if has_affine:
-        sc = scale_ref[0].astype(u.dtype)   # (C,)
-        bi = bias_ref[0].astype(u.dtype)
+        sc = scale_ref[s].astype(u.dtype)   # (C,) row of the full (S,C) block
+        bi = bias_ref[s].astype(u.dtype)
         u = u * sc + bi
     if in_relu:
         u = jnp.maximum(u, 0)
@@ -135,9 +135,11 @@ def conv3x3_stats(x, w, *, padding='reflect', in_scale=None, in_bias=None,
         kern,
         grid=(s_n, h // ch),
         in_specs=[
-            pl.BlockSpec((1, c), lambda s, r: (s, 0),
+            # full (S,C) resident in VMEM (tiny); Mosaic requires the last
+            # two block dims be 8/128-divisible or whole-array
+            pl.BlockSpec((s_n, c), lambda s, r: (0, 0),
                          memory_space=pltpu.VMEM),      # in_scale
-            pl.BlockSpec((1, c), lambda s, r: (s, 0),
+            pl.BlockSpec((s_n, c), lambda s, r: (0, 0),
                          memory_space=pltpu.VMEM),      # in_bias
             pl.BlockSpec(memory_space=pltpu.ANY),       # x stays in HBM
             pl.BlockSpec((3, 3, c, c), lambda s, r: (0, 0, 0, 0),

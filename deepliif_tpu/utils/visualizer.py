@@ -89,18 +89,22 @@ class Visualizer:
         if not (save_result or not self.saved):
             return
         self.saved = True
+        u8 = {}
         for label, img in visuals.items():
             a = np.asarray(img)
             if a.dtype != np.uint8:
                 a = ((a + 1) / 2.0 * 255.0).clip(0, 255).astype(np.uint8)
             if a.ndim == 4:
                 a = a[0]
+            u8[label] = a
             Image.fromarray(a).save(
                 os.path.join(self.img_dir, f'epoch{epoch:03d}_{label}.png'))
         self._write_html()
         if self.remote:
+            # pickle the actual images so `deepliif-tpu visualize` can replay
+            # the grid on another machine (reference visualizer.py:90-107)
             self._snapshot('display_current_results',
-                           {'epoch': epoch, 'labels': list(visuals)})
+                           {'epoch': epoch, 'visuals': u8})
 
     def _write_html(self):
         files = sorted(os.listdir(self.img_dir), reverse=True)

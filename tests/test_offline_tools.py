@@ -70,3 +70,115 @@ def test_apply_affine_translate():
     out = np.asarray(apply_affine(img, translate=(3, 2), output_size=(10, 10)))
     assert (out[:2] == 0).all()        # shifted down by 2
     assert (out[2:, 3:] == 200).all()
+
+
+# ---------------------------------------------------------------------------
+# round 2: benchmark-dataset readers + log-area error maps + visualize replay
+# ---------------------------------------------------------------------------
+
+def test_pathonet_points_reader(tmp_path):
+    from deepliif_tpu.stats.adapters import read_pathonet_points
+    pts = tmp_path / 'img_points.txt'
+    np.savetxt(pts, [[10, 20, 1], [30, 40, 2], [50, 60, 1]])
+    pos, neg = read_pathonet_points(str(pts))
+    assert neg == [(10, 20), (50, 60)]
+    assert pos == [(30, 40)]
+
+
+def test_bcdata_points_npy_fallback(tmp_path):
+    from deepliif_tpu.stats.adapters import read_bcdata_points, points_to_mask
+    np.save(tmp_path / 'pos.npy', np.array([[5, 7], [9, 11]]))
+    np.save(tmp_path / 'neg.npy', np.array([[1, 2]]))
+    pos, neg = read_bcdata_points(str(tmp_path / 'pos.npy'),
+                                  str(tmp_path / 'neg.npy'))
+    assert pos == [(5, 7), (9, 11)] and neg == [(1, 2)]
+    mask = points_to_mask(pos, (16, 16))
+    assert mask[7, 5] == 255 and mask[11, 9] == 255
+    assert mask.sum() == 2 * 255
+
+
+def test_nuclick_mask_reader(tmp_path):
+    from deepliif_tpu.stats.adapters import read_nuclick_mask
+    lab = np.zeros((32, 32), np.int32)
+    lab[4:12, 4:12] = 1
+    lab[16:28, 10:22] = 2
+    np.save(tmp_path / 'm.npy', lab)
+    rgb = read_nuclick_mask(str(tmp_path / 'm.npy'))
+    assert rgb.shape == (32, 32, 3)
+    # interior blue, boundary white, background black
+    assert tuple(rgb[8, 8]) == (0, 0, 255)
+    assert tuple(rgb[4, 4]) == (255, 255, 255)
+    assert tuple(rgb[0, 0]) == (0, 0, 0)
+
+
+def test_instance_mask_dir_reader(tmp_path):
+    from deepliif_tpu.stats.adapters import read_instance_mask_dir
+    from PIL import Image
+    # layout '<image>_<class>_<score>.png' (image name = parts[:-2])
+    for cls, score, box in (('1', '0.90', (2, 10)), ('2', '0.85', (20, 28))):
+        img = np.zeros((32, 32, 3), np.uint8)
+        img[box[0]:box[1], box[0]:box[1]] = 255
+        Image.fromarray(img).save(tmp_path / f'case_A_7_{cls}_{score}.png')
+    seg = read_instance_mask_dir(str(tmp_path), 32, mode='segmentation')
+    assert list(seg) == ['case_A_7']
+    m = seg['case_A_7']
+    assert m['positive'][5, 5] == 1 and m['negative'][25, 25] == 1
+    det = read_instance_mask_dir(str(tmp_path), 32, mode='detection')
+    assert det['case_A_7']['positive'] == [(5, 5)]
+    assert det['case_A_7']['negative'] == [(23, 23)]
+
+
+def test_log_area_error_map():
+    from deepliif_tpu.stats.adapters import (log_area_error_map,
+                                             log_area_colormap_legend)
+    pred = np.zeros((32, 32, 3), np.uint8)
+    gt = np.zeros((32, 32, 3), np.uint8)
+    # matched same-size positive cell -> red
+    pred[2:8, 2:8, 0] = 255
+    gt[2:8, 2:8, 0] = 255
+    # unmatched positive cell -> yellow sentinel
+    pred[20:24, 20:24, 0] = 255
+    # negative cell predicted 4x larger than gt -> dark blue shade
+    pred[10:18, 10:18, 2] = 255
+    gt[12:14, 12:14, 2] = 255
+    out = log_area_error_map(pred, gt)
+    assert tuple(out[4, 4]) == (255, 0, 0)        # exact match, positive
+    assert tuple(out[21, 21]) == (255, 255, 0)    # unmatched
+    b = out[11, 11]
+    assert b[2] > 0 and b[0] == 0 and b[2] < 255  # overpredicted negative
+    legend = log_area_colormap_legend('positive')
+    assert legend.shape == (100, 400, 3)
+
+
+def test_visualize_replays_image_grid(tmp_path):
+    """The remote pickle now carries the visuals; replay writes the gallery
+    (reference visualizer.py:90-161 + cli.py:1018-1052)."""
+    import pickle
+    from deepliif_tpu.cli import replay_display_snapshot
+    rng = np.random.default_rng(0)
+    disp = {'epoch': 3,
+            'visuals': {'real_A': rng.integers(0, 255, (16, 16, 3), np.uint8),
+                        'fake_B_1': rng.integers(0, 255, (16, 16, 3), np.uint8)}}
+    with open(tmp_path / 'display_current_results.pickle', 'wb') as f:
+        pickle.dump(disp, f)
+    replay_display_snapshot(str(tmp_path), disp)
+    assert (tmp_path / 'web' / 'images' / 'epoch003_real_A.png').exists()
+    assert (tmp_path / 'web' / 'index.html').exists()
+
+
+def test_visualizer_snapshot_contains_images(tmp_path):
+    """display_current_results remote snapshots must carry the image data."""
+    import pickle
+    from types import SimpleNamespace
+    from deepliif_tpu.utils.visualizer import Visualizer
+    opt = SimpleNamespace(checkpoints_dir=str(tmp_path), name='exp',
+                          remote=True, remote_transfer_cmd=None)
+    vis = Visualizer(opt)
+    rng = np.random.default_rng(1)
+    vis.display_current_results(
+        {'real_A': rng.integers(0, 255, (8, 8, 3), np.uint8)}, 1, True)
+    p = tmp_path / 'exp' / 'pickle' / 'display_current_results.pickle'
+    with open(p, 'rb') as f:
+        snap = pickle.load(f)
+    assert snap['epoch'] == 1
+    assert snap['visuals']['real_A'].shape == (8, 8, 3)
