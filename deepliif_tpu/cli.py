@@ -288,9 +288,12 @@ def import_model(torch_dir, output_dir, do_verify):
 @click.option('--max-batch', default=None, type=int,
               help='tile-batch bucket cap (default: 32 bf16 / 16 f32, the '
                    'measured v5e optima)')
+@click.option('--device-quant', is_flag=True,
+              help='run quantification (labeling/thresholds/overlays) as '
+                   'one jitted XLA program instead of the host path')
 def test(input_dir, output_dir, tile_size, model_dir, filename_pattern,
          eager_mode, epoch, seg_intermediate, seg_only, mod_only, color_dapi,
-         color_marker, btoa, max_batch):
+         color_marker, btoa, max_batch, device_quant):
     """Run tiled inference + quantification over a directory of images."""
     from PIL import Image
     from .models import infer_modalities
@@ -323,7 +326,7 @@ def test(input_dir, output_dir, tile_size, model_dir, filename_pattern,
                 img, tile_size, model_dir, opt=opt,
                 return_seg_intermediate=seg_intermediate,
                 seg_only=seg_only, mod_only=mod_only, seg_weights=seg_weights,
-                max_batch=max_batch)
+                max_batch=max_batch, device_quant=device_quant)
             stem = filename.rsplit('.', 1)[0]
             for name, im in images.items():
                 im.save(os.path.join(output_dir, f'{stem}_{name}.png'))

@@ -442,11 +442,15 @@ def inference(img, tile_size, overlap_size, model_path, use_torchserve=False,
 
 def postprocess(orig, images, tile_size, model, seg_thresh=120,
                 size_thresh='default', marker_thresh=None,
-                size_thresh_upper=None):
+                size_thresh_upper=None, device_quant=False):
     """Quantification: overlay/refined masks + IHC scoring dict.
 
     Resolution from tile size (reference models/__init__.py:582-610):
     >384 -> 40x, >192 -> 20x, else 10x (thresholds x2 for Ext/SDG).
+
+    device_quant=True runs the whole quantification (flood, CC labeling,
+    KDE thresholds, classification, overlays) as one jitted XLA program
+    (ops.labeling.compute_final_results_device) instead of the host path.
     """
     from PIL import Image
     from .. import postprocessing as pp
@@ -454,11 +458,19 @@ def postprocess(orig, images, tile_size, model, seg_thresh=120,
     if model in ('DeepLIIF', 'DeepLIIFKD'):
         resolution = '40x' if tile_size > 384 else ('20x' if tile_size > 192 else '10x')
         marker = images.get(find_marker_key(images))
-        overlay, refined, scoring = pp.compute_final_results(
+        args = (
             np.asarray(orig.convert('RGB') if hasattr(orig, 'convert') else orig),
             np.asarray(images['Seg']),
             np.asarray(marker.convert('L')) if marker is not None else None,
             resolution, size_thresh, marker_thresh, size_thresh_upper, seg_thresh)
+        if device_quant:
+            from ..ops.labeling import compute_final_results_device
+            overlay, refined, scoring = compute_final_results_device(
+                args[0], args[1], args[2], resolution,
+                size_thresh=size_thresh, marker_thresh=marker_thresh,
+                size_thresh_upper=size_thresh_upper, seg_thresh=seg_thresh)
+        else:
+            overlay, refined, scoring = pp.compute_final_results(*args)
         return ({'SegOverlaid': Image.fromarray(overlay),
                  'SegRefined': Image.fromarray(refined)}, scoring)
 
@@ -482,7 +494,8 @@ def postprocess(orig, images, tile_size, model, seg_thresh=120,
 def infer_modalities(img, tile_size, model_dir, eager_mode=False,
                      color_dapi=False, color_marker=False, opt=None,
                      return_seg_intermediate=False, seg_only=False,
-                     mod_only=False, seg_weights=None, max_batch=None):
+                     mod_only=False, seg_weights=None, max_batch=None,
+                     device_quant=False):
     """Full tile-to-scoring pipeline (reference models/__init__.py:613-660)."""
     session = init_nets(model_dir,
                         epoch=str(getattr(opt, 'epoch', 'latest') if opt
@@ -499,7 +512,9 @@ def infer_modalities(img, tile_size, model_dir, eager_mode=False,
 
     if getattr(opt, 'seg_gen', True):
         if not mod_only:
-            post_images, scoring = postprocess(img, images, tile_size, opt.model)
+            post_images, scoring = postprocess(img, images, tile_size,
+                                               opt.model,
+                                               device_quant=device_quant)
             images = {**images, **post_images}
             if seg_only:
                 for name in [k for k in images if 'Seg' not in k]:

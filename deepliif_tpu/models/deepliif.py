@@ -187,6 +187,28 @@ def _maybe_spectral(params, d: 'DeepLIIFDef'):
 # forward
 # ---------------------------------------------------------------------------
 
+def _translators_fused(x, d: DeepLIIFDef):
+    """True when the fused Pallas resblock path would engage for the
+    translators: resnet arch + inference shapes + TPU (or DEEPLIIF_FUSED=1).
+    The ensemble is then UNROLLED over nets instead of vmapped — Mosaic
+    cannot lower a vmapped ANY-space pallas_call, and XLA serializes the
+    vmapped members anyway."""
+    from ..nets import resnet
+    return (d.net_g[0].startswith('resnet_')
+            and resnet.fused_applicable(x.shape[1], x.shape[2], d.ngf,
+                                        d.norm, d.padding_type))
+
+
+def _run_translators(params_g, x, d: DeepLIIFDef, net):
+    """Inference translator ensemble: fused-unrolled or vmapped."""
+    if _translators_fused(x, d):
+        m = d.modalities_no
+        outs = [net.apply(jax.tree_util.tree_map(lambda a: a[i], params_g),
+                          x, allow_fused=True) for i in range(m)]
+        return jnp.stack(outs)
+    return jax.vmap(lambda p: net.apply(p, x))(params_g)
+
+
 def generator_forward(params, x, d: DeepLIIFDef, *, train=False, rng=None,
                       seg_weights=None):
     """Full ensemble forward: x (B,H,W,C) -> (mods (M,B,H,W,C), seg (B,H,W,C)).
@@ -217,7 +239,7 @@ def generator_forward(params, x, d: DeepLIIFDef, *, train=False, rng=None,
                 g_apply = jax.checkpoint(g_apply)
             mods = jax.vmap(g_apply)(params['G'], mod_rngs)
         else:
-            mods = jax.vmap(lambda p: net.apply(p, x))(params['G'])
+            mods = _run_translators(params['G'], x, d, net)
     else:
         outs = []
         for i, arch in enumerate(d.net_g):
@@ -331,10 +353,15 @@ def seg_only_forward(params, x, d: DeepLIIFDef, seg_weights=None,
     net = _g_net(d, d.net_g[0])
     mods = {}
     if run_mods:
-        sub = jax.tree_util.tree_map(lambda a: a[jnp.asarray(run_mods)],
-                                     params['G'])
-        outs = jax.vmap(lambda p: net.apply(p, x))(sub)
-        mods = {i: outs[j] for j, i in enumerate(run_mods)}
+        if _translators_fused(x, d):
+            mods = {i: net.apply(jax.tree_util.tree_map(lambda a: a[i],
+                                                        params['G']),
+                                 x, allow_fused=True) for i in run_mods}
+        else:
+            sub = jax.tree_util.tree_map(lambda a: a[jnp.asarray(run_mods)],
+                                         params['G'])
+            outs = jax.vmap(lambda p: net.apply(p, x))(sub)
+            mods = {i: outs[j] for j, i in enumerate(run_mods)}
 
     gs = _gs_net(d, d.net_gs[0])
     seg_terms = []
@@ -361,7 +388,7 @@ def forward_with_branches(params, x, d: DeepLIIFDef, seg_weights=None):
     (the reference's return_seg_intermediate / KD teacher path)."""
     params = _maybe_spectral(params, d)
     net = _g_net(d, d.net_g[0])
-    mods = jax.vmap(lambda p: net.apply(p, x))(params['G'])
+    mods = _run_translators(params['G'], x, d, net)
     seg_in = jnp.concatenate([x[None].astype(mods.dtype), mods], axis=0)
     gs = _gs_net(d, d.net_gs[0])
     segs = jax.vmap(lambda p, xi: gs.apply(p, xi))(params['GS'], seg_in)

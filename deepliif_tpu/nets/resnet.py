@@ -70,6 +70,8 @@ def _fused_ok(x, norm, padding_type, train, use_dropout):
         return False
     if train or norm != 'batch' or padding_type not in ('reflect', 'zero'):
         return False
+    if x.ndim != 4:
+        return False
     _, h, w, c = x.shape
     if c % 128 != 0 or w % 16 != 0 or h % 16 != 0:
         return False
@@ -78,9 +80,18 @@ def _fused_ok(x, norm, padding_type, train, use_dropout):
     return jax.default_backend() == 'tpu'
 
 
+def fused_applicable(h, w, ngf, norm, padding_type, train=False):
+    """Would the fused resblock path engage for an (h, w) input? Callers use
+    this to UNROLL over ensemble members instead of vmapping (Mosaic cannot
+    lower a vmapped ANY-space pallas_call)."""
+    import numpy as np
+    probe = np.zeros((1, h // 4, w // 4, ngf * 4), np.float32)
+    return _fused_ok(probe, norm, padding_type, train, True)
+
+
 def apply(p, x, *, n_blocks=9, norm='batch', use_dropout=True,
           padding_type='reflect', upsample='convtranspose',
-          train=False, rng=None, dtype=None):
+          train=False, rng=None, dtype=None, allow_fused=False):
     if dtype is not None:
         x = x.astype(dtype)
     pad_head = padding_type if padding_type == 'reflect' else 'zero'
@@ -95,7 +106,7 @@ def apply(p, x, *, n_blocks=9, norm='batch', use_dropout=True,
         x = L.apply_norm(x, p[f'down{i}_norm'], norm, train)
         x = L.relu(x)
 
-    if _fused_ok(x, norm, padding_type, train, use_dropout):
+    if allow_fused and _fused_ok(x, norm, padding_type, train, use_dropout):
         from ..ops import fused_resblock as FR
         blocks = [{'w1': p[f'res{i}_conv1']['w'].astype(x.dtype),
                    'norm1': p[f'res{i}_norm1'],

@@ -35,32 +35,57 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(scale_ref, bias_ref, x_ref, w_ref, y_ref, st_ref, blk, sem,
-            *, ch, h, w, c, padding, in_relu, has_affine, out_dtype):
+            *, ch, h, w, c, padding, in_relu, has_affine, out_dtype,
+            n_samples):
     s = pl.program_id(0)
     r = pl.program_id(1)
     r0 = r * ch
+    n_r = pl.num_programs(1)
+    t = s * n_r + r
+    total = n_samples * n_r
+    slot = jax.lax.rem(t, 2)
+    nslot = jax.lax.rem(t + 1, 2)
 
-    # ---- DMA the row chunk + 1-row halos from HBM into VMEM
-    body = pltpu.make_async_copy(
-        x_ref.at[s, pl.ds(r0, ch)], blk.at[pl.ds(1, ch)], sem.at[0])
-    body.start()
-    # halo rows: clamped/reflected source rows (always a valid in-range copy;
-    # zero-padding overwrites after the wait)
-    top_src = jnp.where(r0 == 0, 1 if padding == 'reflect' else 0, r0 - 1)
-    bot_src = jnp.where(r0 + ch >= h,
-                        h - 2 if padding == 'reflect' else h - 1,
-                        r0 + ch)
-    top = pltpu.make_async_copy(
-        x_ref.at[s, pl.ds(top_src, 1)], blk.at[pl.ds(0, 1)], sem.at[1])
-    bot = pltpu.make_async_copy(
-        x_ref.at[s, pl.ds(bot_src, 1)], blk.at[pl.ds(ch + 1, 1)], sem.at[2])
-    top.start()
-    bot.start()
-    body.wait()
-    top.wait()
-    bot.wait()
+    def dmas(slot_i, s_i, r0_i):
+        """The 3 HBM->VMEM copies for chunk (s_i, r0_i) into buffer slot_i:
+        body rows + 1-row halos (clamped/reflected sources; zero padding is
+        applied after the affine, in-register)."""
+        top_src = jnp.where(r0_i == 0, 1 if padding == 'reflect' else 0,
+                            r0_i - 1)
+        bot_src = jnp.where(r0_i + ch >= h,
+                            h - 2 if padding == 'reflect' else h - 1,
+                            r0_i + ch)
+        return (
+            pltpu.make_async_copy(x_ref.at[s_i, pl.ds(r0_i, ch)],
+                                  blk.at[slot_i, pl.ds(1, ch)],
+                                  sem.at[slot_i, 0]),
+            pltpu.make_async_copy(x_ref.at[s_i, pl.ds(top_src, 1)],
+                                  blk.at[slot_i, pl.ds(0, 1)],
+                                  sem.at[slot_i, 1]),
+            pltpu.make_async_copy(x_ref.at[s_i, pl.ds(bot_src, 1)],
+                                  blk.at[slot_i, pl.ds(ch + 1, 1)],
+                                  sem.at[slot_i, 2]),
+        )
 
-    u = blk[:]
+    # double-buffered pipeline: this step's chunk was prefetched by the
+    # previous step; kick off the next chunk's DMA before computing
+    @pl.when(t == 0)
+    def _():
+        for d in dmas(slot, s, r0):
+            d.start()
+
+    r_next = jnp.where(r + 1 < n_r, r + 1, 0)
+    s_next = jnp.where(r + 1 < n_r, s, s + 1)
+
+    @pl.when(t + 1 < total)
+    def _():
+        for d in dmas(nslot, s_next, r_next * ch):
+            d.start()
+
+    for d in dmas(slot, s, r0):
+        d.wait()
+
+    u = blk[slot]
     if has_affine:
         sc = scale_ref[s].astype(u.dtype)   # (C,) row of the full (S,C) block
         bi = bias_ref[s].astype(u.dtype)
@@ -129,7 +154,7 @@ def conv3x3_stats(x, w, *, padding='reflect', in_scale=None, in_bias=None,
 
     kern = functools.partial(
         _kernel, ch=ch, h=h, w=w_n, c=c, padding=padding, in_relu=in_relu,
-        has_affine=has_affine, out_dtype=x.dtype)
+        has_affine=has_affine, out_dtype=x.dtype, n_samples=s_n)
 
     y, st = pl.pallas_call(
         kern,
@@ -156,8 +181,8 @@ def conv3x3_stats(x, w, *, padding='reflect', in_scale=None, in_bias=None,
             jax.ShapeDtypeStruct((s_n, 2, c), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((ch + 2, w_n, c), x.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, ch + 2, w_n, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         interpret=interpret,
     )(in_scale, in_bias, x, w)
@@ -178,7 +203,7 @@ def finalize_norm(st, norm_p, h, w, eps=1e-5):
 
 
 def resblock_chain(x, blocks, *, padding='reflect', eps=1e-5,
-                   interpret=False):
+                   interpret=False, chunk_rows=16):
     """Run a chain of inference resblocks with the fused kernel.
 
     blocks: list of dicts {'w1', 'norm1', 'w2', 'norm2'} where w* are HWIO
@@ -190,11 +215,11 @@ def resblock_chain(x, blocks, *, padding='reflect', eps=1e-5,
     s_n, h, w_n, _ = x.shape
     for b in blocks:
         h1, st1 = conv3x3_stats(x, b['w1'], padding=padding,
-                                interpret=interpret)
+                                interpret=interpret, chunk_rows=chunk_rows)
         sc1, bi1 = finalize_norm(st1, b['norm1'], h, w_n, eps)
         h2, st2 = conv3x3_stats(h1, b['w2'], padding=padding,
                                 in_scale=sc1, in_bias=bi1, in_relu=True,
-                                interpret=interpret)
+                                interpret=interpret, chunk_rows=chunk_rows)
         sc2, bi2 = finalize_norm(st2, b['norm2'], h, w_n, eps)
         x = x + (h2 * sc2[:, None, None].astype(h2.dtype)
                  + bi2[:, None, None].astype(h2.dtype))

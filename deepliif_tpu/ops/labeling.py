@@ -328,3 +328,123 @@ def label_components_pallas(fg, sweeps_per_call=8, max_rounds=64,
     lab, _ = jax.lax.while_loop(lambda s: s[1], body,
                                 (lab, jnp.asarray(True)))
     return jnp.where(fg, lab + 1, 0)
+
+
+# ---------------------------------------------------------------------------
+# full device orchestrator (the host compute_final_results equivalent)
+# ---------------------------------------------------------------------------
+
+def compute_final_results_device(orig_u8, seg_u8, marker_u8=None,
+                                 resolution='40x', size_thresh='default',
+                                 marker_thresh=None, size_thresh_upper=None,
+                                 seg_thresh=120, noise_thresh=4,
+                                 large_noise_thresh=None):
+    """Device mirror of postprocessing.compute_final_results (ref
+    :1223-1304): posneg mask -> background flood -> CC labeling -> KDE
+    auto size threshold -> classification -> overlay/refined images, all in
+    one jitted program. Returns (overlay, refined, scoring) with device
+    arrays fetched to numpy and a host-identical scoring dict.
+    """
+    from .. import postprocessing as pp
+
+    large_noise = pp.calculate_large_noise_thresh(large_noise_thresh,
+                                                  resolution)
+    auto_size = size_thresh == 'default'
+    auto_marker = marker_thresh == 'default'
+    static_size = 0 if (auto_size or size_thresh is None) else int(size_thresh)
+    static_marker = None if (auto_marker or marker_thresh is None) \
+        else int(marker_thresh)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(seg, orig, marker):
+        h, w = seg.shape[:2]
+        mask = posneg_mask(seg, seg_thresh)
+        mask = flood_background(mask)
+        fg = mask != LABEL_BACKGROUND
+        lab = label_components(fg, conn8=True)
+
+        n = h * w + 1
+        flat = lab.reshape(-1)
+        sizes = jnp.zeros(n, jnp.int32).at[flat].add(
+            jnp.ones_like(flat, jnp.int32))
+        pos_cnt = jnp.zeros(n, jnp.int32).at[flat].add(
+            (mask == LABEL_POSITIVE).reshape(-1).astype(jnp.int32))
+        neg_cnt = jnp.zeros(n, jnp.int32).at[flat].add(
+            (mask == LABEL_NEGATIVE).reshape(-1).astype(jnp.int32))
+        if marker is not None:
+            marker_max = jnp.zeros(n, jnp.int32).at[flat].max(
+                marker.astype(jnp.int32).reshape(-1))
+        else:
+            marker_max = jnp.zeros(n, jnp.int32)
+        sizes = sizes.at[0].set(0)
+
+        # noise gating BEFORE the KDE (host compute_cell_mapping drops noise
+        # cells before calculate_default_size_threshold); large_noise may be
+        # None = no upper gate (the host default unless 'default' is passed)
+        cell_ok = sizes > noise_thresh
+        if large_noise is not None:
+            cell_ok &= sizes < large_noise
+        kde_sizes = jnp.where(cell_ok, sizes, 0)
+        st = (auto_size_threshold(kde_sizes, resolution) if auto_size
+              else jnp.int32(static_size))
+        if auto_marker and marker is not None:
+            mt = auto_marker_threshold(marker)
+        else:
+            mt = (jnp.int32(static_marker) if static_marker is not None
+                  else None)
+
+        keep = cell_ok & (sizes > st)
+        if size_thresh_upper is not None:
+            keep &= sizes < int(size_thresh_upper)
+        is_pos = pos_cnt >= neg_cnt
+        if mt is not None:
+            is_pos = is_pos | (marker_max > mt)
+
+        num_pos = jnp.sum(keep & is_pos)
+        num_neg = jnp.sum(keep & ~is_pos)
+        cls = jnp.where(keep[lab] & fg,
+                        jnp.where(is_pos[lab], jnp.uint8(1), jnp.uint8(2)),
+                        jnp.uint8(0))
+        overlay, refined = overlay_images(orig, cls)
+        return {'overlay': overlay, 'refined': refined, 'num_pos': num_pos,
+                'num_neg': num_neg, 'size_thresh': st,
+                'marker_thresh': (mt if mt is not None else jnp.int32(-1))}
+
+    seg_np = np.asarray(seg_u8)
+    orig_np = np.asarray(orig_u8)
+    h0, w0 = seg_np.shape[:2]
+    # pad to multiples of 256 to bound jit-cache growth across canvas sizes;
+    # zero padding is 'unknown' and border-connected, so it floods to
+    # background and cannot affect counts
+    ph = (-h0) % 256
+    pw = (-w0) % 256
+    if ph or pw:
+        seg_np = np.pad(seg_np, ((0, ph), (0, pw), (0, 0)))
+        orig_np = np.pad(orig_np, ((0, ph), (0, pw), (0, 0)))
+    marker = None
+    if marker_u8 is not None:
+        m = np.asarray(marker_u8)
+        if ph or pw:
+            m = np.pad(m, ((0, ph), (0, pw)))
+        marker = jnp.asarray(m)
+    out = run(jnp.asarray(seg_np), jnp.asarray(orig_np), marker)
+
+    num_pos = int(out['num_pos'])
+    num_neg = int(out['num_neg'])
+    mt_val = int(out['marker_thresh'])
+    scoring = {
+        'num_total': num_pos + num_neg,
+        'num_pos': num_pos,
+        'num_neg': num_neg,
+        'percent_pos': (round(num_pos / (num_pos + num_neg) * 100, 1)
+                        if num_pos > 0 else 0),
+        'seg_thresh': seg_thresh,
+        'size_thresh': (int(out['size_thresh']) if size_thresh is not None
+                        else 0),
+        'size_thresh_upper': size_thresh_upper,
+        'marker_thresh': (None if marker_u8 is None
+                          else (mt_val if mt_val >= 0 else marker_thresh)),
+    }
+    overlay = np.asarray(out['overlay'])[:h0, :w0]
+    refined = np.asarray(out['refined'])[:h0, :w0]
+    return overlay, refined, scoring

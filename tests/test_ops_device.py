@@ -113,3 +113,99 @@ def test_device_auto_thresholds_match_host():
     host = pp.calculate_default_marker_threshold(mk)
     dev = int(auto_marker_threshold(jnp.asarray(mk)))
     assert abs(host - dev) <= 1
+
+
+def test_compute_final_results_device_matches_host_golden():
+    """Full device orchestrator (auto KDE size threshold included) matches
+    the host compute_final_results scoring on the golden val tiles."""
+    import os
+    from deepliif_tpu.ops.labeling import compute_final_results_device
+    src = '/root/reference/Datasets/Sample_Dataset/val'
+    if not os.path.isdir(src):
+        pytest.skip('reference dataset absent')
+    for name, expected in (('Lung1', (60, 11, 49)), ('Bladder1', (183, 15, 168))):
+        img = Image.open(os.path.join(src, f'{name}.png'))
+        w, h = img.size
+        gt = np.asarray(img.crop((w - h, 0, w, h)).convert('RGB'))
+        orig = np.asarray(img.crop((0, 0, h, h)).convert('RGB'))
+        ho, hr, hs = pp.compute_final_results(orig, gt, None, '40x',
+                                              seg_thresh=150)
+        do, dr, ds = compute_final_results_device(orig, gt, None, '40x',
+                                                  seg_thresh=150)
+        assert (ds['num_total'], ds['num_pos'], ds['num_neg']) == \
+               (hs['num_total'], hs['num_pos'], hs['num_neg'])
+        assert ds['size_thresh'] == hs['size_thresh']
+        # refined masks agree on cell interiors up to the host's sequential
+        # quirk of border-labeling each kept cell's seed pixel (one pixel
+        # per cell leaves the fill and joins the boundary there)
+        dev_red = int((dr[..., 0] > 0).sum())
+        host_red = int((hr[..., 0] > 0).sum())
+        assert abs(dev_red - host_red) <= ds['num_total'], (dev_red, host_red)
+
+
+def test_compute_final_results_device_padding_invariance():
+    """The 256-multiple padding inside the device path must not change
+    counts."""
+    from deepliif_tpu.ops.labeling import compute_final_results_device
+    rng = np.random.default_rng(0)
+    seg = np.zeros((130, 190, 3), np.uint8)
+    for _ in range(8):
+        y, x = rng.integers(10, 110, 2)
+        r = rng.integers(3, 8)
+        color = (220, 0, 0) if rng.random() < 0.5 else (0, 0, 220)
+        seg[y - r:y + r, x - r:x + r] = color
+    orig = rng.integers(0, 255, (130, 190, 3), np.uint8)
+    _, _, hs = pp.compute_final_results(orig, seg, None, '40x', seg_thresh=120)
+    do, dr, ds = compute_final_results_device(orig, seg, None, '40x',
+                                              seg_thresh=120)
+    assert do.shape == orig.shape
+    assert (ds['num_total'], ds['num_pos'], ds['num_neg']) == \
+           (hs['num_total'], hs['num_pos'], hs['num_neg'])
+
+
+def test_device_stitch_matches_host():
+    """ownership_maps gather == stitch_batch paste for overlapped tilings."""
+    from deepliif_tpu.utils.tiler import InferenceTiler
+    rng = np.random.default_rng(2)
+    for (h, w, ts, ov) in [(130, 190, 64, 4), (64, 64, 64, 4), (100, 257, 64, 8)]:
+        img = rng.integers(0, 255, (h, w, 3), np.uint8)
+        tiler = InferenceTiler(img, ts, ov)
+        tiles = tiler.tiles()
+        tiler.stitch_batch('k', tiles)
+        host = tiler.results()['k']
+        tile_idx, ty, tx = tiler.ownership_maps()
+        dev = np.asarray(jnp.asarray(tiles)[tile_idx, ty[:, None], tx[None, :]])
+        dev = dev[:tiler.orig_height, :tiler.orig_width]
+        np.testing.assert_array_equal(dev, host, err_msg=str((h, w, ts, ov)))
+
+
+def test_infer_modalities_device_quant(tmp_path):
+    """device_quant=True produces the same scoring as the host path."""
+    import json
+    import os
+    from deepliif_tpu.models import deepliif as dl
+    from deepliif_tpu.models import infer_modalities
+    from deepliif_tpu.utils import checkpoints
+
+    md = tmp_path / 'model'
+    md.mkdir()
+    d = dl.DeepLIIFDef(modalities_no=2, net_g=('resnet_6blocks',) * 2,
+                       net_gs=('unet_32',) * 3, ngf=8, ndf=8,
+                       seg_weights=(0.4, 0.3, 0.3))
+    params = dl.init_params(jax.random.PRNGKey(7), d, with_discriminators=False)
+    checkpoints.save_networks(str(md), params)
+    with open(md / 'config.json', 'w') as f:
+        json.dump({'model': 'DeepLIIF', 'modalities_no': 2, 'seg_gen': True,
+                   'seg_no': 1, 'input_no': 1, 'netG': 'resnet_6blocks',
+                   'net_gs': 'unet_32', 'ngf': 8, 'ndf': 8, 'norm': 'batch',
+                   'no_dropout': False, 'padding': 'zero',
+                   'upsample': 'convtranspose', 'scale_size': 64,
+                   'seg_weights': [0.4, 0.3, 0.3],
+                   'modalities_names': ['IHC', 'ModA', 'Marker']}, f)
+    rng = np.random.default_rng(1)
+    img = Image.fromarray(rng.integers(0, 255, (96, 128, 3), np.uint8))
+    _, host_score = infer_modalities(img, 64, str(md))
+    images, dev_score = infer_modalities(img, 64, str(md), device_quant=True)
+    for k in ('num_total', 'num_pos', 'num_neg', 'percent_pos'):
+        assert dev_score[k] == host_score[k], (k, dev_score, host_score)
+    assert 'SegOverlaid' in images and 'SegRefined' in images
