@@ -30,10 +30,8 @@ def main():
         d = dl.DeepLIIFDef(dtype=None)
         params = dl.init_params(jax.random.PRNGKey(0), d,
                                 with_discriminators=False)
-        import jax.numpy as jnp
-        params = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-            params)
+        # store f32 (npz has no bf16); 'precision: bfloat16' in the config
+        # makes the session compute in bf16
         checkpoints.save_networks(md, params)
         with open(os.path.join(md, 'config.json'), 'w') as f:
             json.dump({'model': 'DeepLIIF', 'modalities_no': 4,
