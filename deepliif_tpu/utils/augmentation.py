@@ -153,3 +153,90 @@ def augment_dataset(input_dir, output_dir, aug_no=9, tile_size=512, seed=0):
                 os.path.join(output_dir, f'{stem}_aug{a}.png'))
             count += 1
     return count
+
+
+# ---------------------------------------------------------------------------
+# WSI / multichannel-OME -> training-set builders (reference
+# Image_Processing_Helper_Functions.py:166-180, 451-521)
+# ---------------------------------------------------------------------------
+
+def imadjust(x, gamma=0.7, c=0, d=1):
+    """Contrast stretch + gamma (reference imadjust, :166-180)."""
+    x = np.asarray(x, np.float64)
+    a, b = x.min(), x.max()
+    if b == a:
+        return np.full_like(x, c)
+    return (((x - a) / (b - a)) ** gamma) * (d - c) + c
+
+
+def create_dataset_from_wsi_regions(region_images, output_dir, name,
+                                    tile_size=1024, start_i=0, start_j=0):
+    """Tile a dict of per-modality region arrays into per-modality PNGs,
+    skipping tiles whose DAPI content is empty (reference
+    create_dataset_from_WSI_regions, :503-521). File naming
+    '<name>_<y>_<x>_<modality>.png' matches the reference."""
+    import os
+    from PIL import Image
+
+    os.makedirs(output_dir, exist_ok=True)
+    shape = next(iter(region_images.values())).shape
+    n = 0
+    for y0 in range(0, shape[0] - tile_size + 1, tile_size):
+        for x0 in range(0, shape[1] - tile_size + 1, tile_size):
+            dapi = region_images.get('DAPI')
+            if dapi is not None:
+                dt = dapi[y0:y0 + tile_size, x0:x0 + tile_size]
+                if not dt.any() or dt.mean() <= 0.0:
+                    continue
+            for img_type, region in region_images.items():
+                tile = region[y0:y0 + tile_size, x0:x0 + tile_size]
+                tile = imadjust(tile, 1, 0, 255).astype(np.uint8)
+                Image.fromarray(tile).save(os.path.join(
+                    output_dir,
+                    f'{name}_{start_i + y0}_{start_j + x0}_{img_type}.png'))
+            n += 1
+    return n
+
+
+def create_dataset_from_multichannel_ome(ome_dir, output_dir, tile_size=1024,
+                                         img_channel_modality=None,
+                                         region_size=10240):
+    """Build a tile dataset from a directory of multichannel OME TIFFs
+    (reference create_dataset_from_ome_multi_channel_image, :451-500 — there
+    via Bio-Formats/JVM; here via utils.tiff.TiledTiffReader channel pages).
+
+    img_channel_modality: {'DAPI': 0, 'IHC': [2, 3, 4], ...} — a list value
+    stacks channels into an RGB image.
+    """
+    import os
+    from .tiff import TiledTiffReader
+
+    if not img_channel_modality:
+        raise ValueError('img_channel_modality is required, e.g. '
+                         "{'DAPI': 0, 'IHC': [2, 3, 4]}")
+    os.makedirs(output_dir, exist_ok=True)
+    total = 0
+    for ome in sorted(os.listdir(ome_dir)):
+        if not ome.lower().endswith(('.tif', '.tiff')):
+            continue
+        reader = TiledTiffReader(os.path.join(ome_dir, ome))
+        w, h = reader.size
+        name = ome.split('_')[0].rsplit('.', 1)[0]
+        for i in range(0, h, region_size):
+            for j in range(0, w, region_size):
+                rh = min(region_size, h - i)
+                rw = min(region_size, w - j)
+                images = {}
+                for img_type, chans in img_channel_modality.items():
+                    if isinstance(chans, (list, tuple)):
+                        planes = [reader.read_region(j, i, rw, rh,
+                                                     level=ch)[:, :, 0]
+                                  for ch in chans]
+                        images[img_type] = np.dstack(planes)
+                    else:
+                        images[img_type] = reader.read_region(
+                            j, i, rw, rh, level=chans)[:, :, 0]
+                total += create_dataset_from_wsi_regions(
+                    images, output_dir, name, tile_size, start_i=i, start_j=j)
+        reader.close()
+    return total

@@ -65,6 +65,18 @@ def _tile_grid(h, w, tile=TILE):
     return ty, tx
 
 
+def _inline_or_pointer(typ, values, pointer):
+    """BigTIFF IFD value field: values whose byte size fits the 8-byte value
+    field MUST be stored inline (readers assume this); otherwise use the
+    out-of-line pointer."""
+    fmt = {TYPE_SHORT: 'H', TYPE_LONG: 'I', TYPE_LONG8: 'Q'}[typ]
+    size = struct.calcsize('<' + fmt) * len(values)
+    if size <= 8:
+        raw = struct.pack(f'<{len(values)}{fmt}', *values).ljust(8, b'\x00')
+        return struct.unpack('<Q', raw)[0]
+    return pointer
+
+
 IMAGE_DESCRIPTION = 270
 
 
@@ -211,7 +223,8 @@ def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
                 entry(IMAGE_DESCRIPTION, 2, desc_len, desc_off)  # type ASCII
             entry(IMAGE_WIDTH, TYPE_LONG, 1, w)
             entry(IMAGE_LENGTH, TYPE_LONG, 1, h)
-            entry(BITS_PER_SAMPLE, TYPE_SHORT, 3, bps_off)
+            entry(BITS_PER_SAMPLE, TYPE_SHORT, 3,
+                  _inline_or_pointer(TYPE_SHORT, (8, 8, 8), bps_off))
             entry(COMPRESSION, TYPE_SHORT, 1,
                   7 if comp_jpeg else (8 if compression else 1))
             entry(PHOTOMETRIC, TYPE_SHORT, 1, 2)
@@ -219,8 +232,10 @@ def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
             entry(PLANAR_CONFIG, TYPE_SHORT, 1, 1)
             entry(TILE_WIDTH, TYPE_SHORT, 1, tile)
             entry(TILE_LENGTH, TYPE_SHORT, 1, tile)
-            entry(TILE_OFFSETS, TYPE_LONG8, len(offsets), off_arr_off)
-            entry(TILE_BYTE_COUNTS, TYPE_LONG8, len(counts), cnt_arr_off)
+            entry(TILE_OFFSETS, TYPE_LONG8, len(offsets),
+                  _inline_or_pointer(TYPE_LONG8, offsets, off_arr_off))
+            entry(TILE_BYTE_COUNTS, TYPE_LONG8, len(counts),
+                  _inline_or_pointer(TYPE_LONG8, counts, cnt_arr_off))
             entries.sort()
 
             ifd_off = fh.tell()
@@ -231,6 +246,84 @@ def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
             fh.write(struct.pack('<Q', 0))
 
             # patch previous next-IFD pointer
+            end = fh.tell()
+            fh.seek(prev_next_field)
+            fh.write(struct.pack('<Q', ifd_off))
+            fh.seek(end)
+            prev_next_field = next_field_pos
+    return path
+
+
+def write_ome_multichannel_tiff(path, channels, channel_names=None,
+                                tile=TILE, compression=True):
+    """Write a (C, H, W) uint8 stack as a multichannel OME BigTIFF: one
+    grayscale tiled page per channel + OME-XML on page 0 (the reference's
+    write_ome_tiff_file, util/__init__.py:793-914 — 6-channel
+    DAPI/Lap2/Marker/Seg/Pos/Neg stacks). Channels read back with
+    TiledTiffReader.read_region(..., level=c)."""
+    channels = np.ascontiguousarray(channels, np.uint8)
+    if channels.ndim == 2:
+        channels = channels[None]
+    c_n, h, w = channels.shape
+    channel_names = channel_names or [f'C{i}' for i in range(c_n)]
+
+    with open(path, 'wb') as fh:
+        fh.write(struct.pack('<2sHHHQ', b'II', 43, 8, 0, 0))
+        prev_next_field = 8
+        for ci in range(c_n):
+            img = channels[ci]
+            ty, tx = _tile_grid(h, w, tile)
+            offsets, counts = [], []
+            for j in range(ty):
+                for i in range(tx):
+                    t = img[j * tile:(j + 1) * tile, i * tile:(i + 1) * tile]
+                    if t.shape != (tile, tile):
+                        pad = np.zeros((tile, tile), np.uint8)
+                        pad[:t.shape[0], :t.shape[1]] = t
+                        t = pad
+                    raw = t.tobytes()
+                    data = zlib.compress(raw, 6) if compression else raw
+                    offsets.append(fh.tell())
+                    counts.append(len(data))
+                    fh.write(data)
+            off_arr_off = fh.tell()
+            fh.write(struct.pack(f'<{len(offsets)}Q', *offsets))
+            cnt_arr_off = fh.tell()
+            fh.write(struct.pack(f'<{len(counts)}Q', *counts))
+            desc_off = desc_len = 0
+            if ci == 0:
+                desc = make_ome_xml(w, h, channel_names,
+                                    size_c=c_n).encode() + b'\x00'
+                desc_off = fh.tell()
+                desc_len = len(desc)
+                fh.write(desc)
+
+            entries = []
+            if desc_len:
+                entries.append((IMAGE_DESCRIPTION, TYPE_ASCII, desc_len,
+                                desc_off))
+            entries += [
+                (IMAGE_WIDTH, TYPE_LONG, 1, w),
+                (IMAGE_LENGTH, TYPE_LONG, 1, h),
+                (BITS_PER_SAMPLE, TYPE_SHORT, 1, 8),
+                (COMPRESSION, TYPE_SHORT, 1, 8 if compression else 1),
+                (PHOTOMETRIC, TYPE_SHORT, 1, 1),   # min-is-black
+                (SAMPLES_PER_PIXEL, TYPE_SHORT, 1, 1),
+                (PLANAR_CONFIG, TYPE_SHORT, 1, 1),
+                (TILE_WIDTH, TYPE_SHORT, 1, tile),
+                (TILE_LENGTH, TYPE_SHORT, 1, tile),
+                (TILE_OFFSETS, TYPE_LONG8, len(offsets),
+                 _inline_or_pointer(TYPE_LONG8, offsets, off_arr_off)),
+                (TILE_BYTE_COUNTS, TYPE_LONG8, len(counts),
+                 _inline_or_pointer(TYPE_LONG8, counts, cnt_arr_off)),
+            ]
+            entries.sort()
+            ifd_off = fh.tell()
+            fh.write(struct.pack('<Q', len(entries)))
+            for tag, typ, count, value in entries:
+                fh.write(struct.pack('<HHQQ', tag, typ, count, value))
+            next_field_pos = fh.tell()
+            fh.write(struct.pack('<Q', 0))
             end = fh.tell()
             fh.seek(prev_next_field)
             fh.write(struct.pack('<Q', ifd_off))

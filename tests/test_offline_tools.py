@@ -182,3 +182,43 @@ def test_visualizer_snapshot_contains_images(tmp_path):
         snap = pickle.load(f)
     assert snap['epoch'] == 1
     assert snap['visuals']['real_A'].shape == (8, 8, 3)
+
+
+def test_multichannel_ome_roundtrip_and_dataset_builder(tmp_path):
+    """write_ome_multichannel_tiff channels read back exactly per page, and
+    the OME->training-tiles builder tiles them with DAPI gating (reference
+    Image_Processing_Helper_Functions.py:451-521)."""
+    from deepliif_tpu.utils.tiff import (TiledTiffReader,
+                                         write_ome_multichannel_tiff)
+    from deepliif_tpu.utils.augmentation import (
+        create_dataset_from_multichannel_ome)
+
+    rng = np.random.default_rng(0)
+    C, H, W = 5, 96, 128
+    stack = rng.integers(1, 255, (C, H, W), np.uint8)
+    stack[0, :48] = 0  # DAPI empty in the top half -> those tiles skipped
+    ome_dir = tmp_path / 'omes'
+    ome_dir.mkdir()
+    p = str(ome_dir / 'case1.ome.tiff')
+    write_ome_multichannel_tiff(p, stack,
+                                channel_names=['DAPI', 'Lap2', 'R', 'G', 'B'])
+
+    r = TiledTiffReader(p)
+    assert len(r.pages) == C
+    assert 'DAPI' in (r.read_description() or '')
+    for c in range(C):
+        np.testing.assert_array_equal(
+            r.read_region(0, 0, W, H, level=c)[:, :, 0], stack[c])
+    r.close()
+
+    out = tmp_path / 'tiles'
+    n = create_dataset_from_multichannel_ome(
+        str(ome_dir), str(out), tile_size=48,
+        img_channel_modality={'DAPI': 0, 'Lap2': 1, 'IHC': [2, 3, 4]})
+    files = sorted(os.listdir(out))
+    # bottom row of 48px tiles has DAPI content; top row skipped
+    assert n == 2, files
+    assert any(f.endswith('_IHC.png') for f in files)
+    from PIL import Image as _I
+    ihc = np.asarray(_I.open(out / [f for f in files if 'IHC' in f][0]))
+    assert ihc.shape == (48, 48, 3)
