@@ -89,6 +89,123 @@ def conv2d(x, p, stride=1, padding=0):
     return out
 
 
+def conv2d_s2d(x_padded, p, k=7, block=8):
+    """Space-to-depth reformulation of a small-output-channel conv.
+
+    A k x k VALID conv producing ``cout`` channels cannot fill the MXU lane
+    dimension when cout is tiny (the reference tail c7s1-3 runs at ~1.9 TF/s
+    on v5e because only 3 of 128 lanes carry data). Grouping output pixels
+    into ``block`` x ``block`` tiles turns it into an equivalent
+    (block+k-1)-kernel, stride-``block`` conv with block^2*cout output
+    channels — block=8, cout=3 gives N=192 — followed by a depth-to-space on
+    the (already tiny) output. 4x more MACs (the expanded kernel is 75%
+    zeros) but ~16x better lane utilization.
+
+    ``x_padded`` must already carry the k//2-style padding so the conv is
+    VALID; (H_padded - (block+k-1)) must be divisible by ``block``.
+    Numerically the same contraction set per output pixel as conv2d.
+    """
+    w = p['w'].astype(x_padded.dtype)
+    kh, kw, cin, cout = w.shape
+    assert kh == k and kw == k
+    bk = block + k - 1
+    # W2[a+i, b+j, :, (a*block+b)*cout+co] = w[i, j, :, co]
+    # (Measured alternatives on v5e, batch 32: direct conv ~50 ms, this
+    # stride-`block` form ~20 ms, explicit input s2d + 2x2 block conv ~57 ms
+    # — the HBM transpose costs more than it saves. See
+    # experiments/bench_s2d_variants.py.)
+    rows = []
+    for a in range(block):
+        cols = []
+        for b in range(block):
+            cols.append(jnp.pad(w, ((a, block - 1 - a), (b, block - 1 - b),
+                                    (0, 0), (0, 0))))
+        rows.append(jnp.stack(cols))
+    w2 = jnp.stack(rows)                                # (blk, blk, bk, bk, cin, cout)
+    w2 = jnp.transpose(w2, (2, 3, 4, 0, 1, 5))          # (bk, bk, cin, blk, blk, cout)
+    w2 = w2.reshape(bk, bk, cin, block * block * cout)
+    y = jax.lax.conv_general_dilated(
+        x_padded, w2, (block, block), 'VALID', dimension_numbers=_DN)
+    n, hb, wb, _ = y.shape
+    y = y.reshape(n, hb, wb, block, block, cout)
+    y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
+    y = y.reshape(n, hb * block, wb * block, cout)
+    if 'b' in p:
+        y = y + p['b'].astype(y.dtype)
+    return y
+
+
+def s2d_applicable(h_padded, w_padded, cout, k=7, block=8):
+    """Gate for conv2d_s2d: shapes tile exactly and the packed lane count
+    beats the direct form. Engaged on TPU by default; DEEPLIIF_S2D=0/1
+    forces off/on (tests force 1 to exercise the path on CPU)."""
+    import os
+    flag = os.environ.get('DEEPLIIF_S2D', 'auto')
+    if flag == '0':
+        return False
+    bk = block + k - 1
+    ok = (cout <= 8
+          and (h_padded - bk) % block == 0 and (w_padded - bk) % block == 0
+          and h_padded - bk >= 0 and w_padded - bk >= 0)
+    if not ok:
+        return False
+    if flag == '1':
+        return True
+    return jax.default_backend() == 'tpu'
+
+
+def conv_transpose2d_s2d(x, p, block=4):
+    """Space-to-depth form of ConvTranspose2d(k=4, stride=2, padding=1,
+    output_padding=0) for tiny output-channel counts (the U-Net outermost
+    up-conv produces 3 channels -> N=3 starves the MXU lanes exactly like
+    the resnet tail; see conv2d_s2d). Groups each 4x4 output block into
+    channels: an equivalent 4x4 stride-2 conv with 16*cout outputs over the
+    1-padded input, then depth-to-space. 4x the MACs, 16x the lane fill.
+
+    Derivation (per axis, from the dilated form in conv_transpose2d /
+    _conv_transpose2d_phases): out[2m] = w0 x[m-1] + w2 x[m];
+    out[2m+1] = w1 x[m] + w3 x[m+1]. For the output block starting at 4I the
+    input window starts at 2I-1 (4 taps)."""
+    w = p['w'].astype(x.dtype)
+    k, _, cin, cout = w.shape
+    assert k == 4 and block == 4
+    # per output-offset a: list of (input offset d in window, kernel tap t)
+    taps = {0: ((0, 0), (1, 2)), 1: ((1, 1), (2, 3)),
+            2: ((1, 0), (2, 2)), 3: ((2, 1), (3, 3))}
+    w4 = jnp.zeros((4, 4, cin, 4, 4, cout), w.dtype)
+    for a, rows in taps.items():
+        for b, cols in taps.items():
+            for dy, ty in rows:
+                for dx, tx in cols:
+                    w4 = w4.at[dy, dx, :, a, b, :].add(w[ty, tx])
+    w2 = w4.reshape(4, 4, cin, 16 * cout)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(xp, w2, (2, 2), 'VALID',
+                                     dimension_numbers=_DN)
+    n, hb, wb, _ = y.shape
+    y = y.reshape(n, hb, wb, 4, 4, cout)
+    y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(n, hb * 4, wb * 4, cout)
+    if 'b' in p:
+        y = y + p['b'].astype(y.dtype)
+    return y
+
+
+def ct_s2d_applicable(h, w, kshape):
+    """Gate for conv_transpose2d_s2d (same DEEPLIIF_S2D env control as
+    s2d_applicable)."""
+    import os
+    flag = os.environ.get('DEEPLIIF_S2D', 'auto')
+    if flag == '0':
+        return False
+    kh, kw, _, cout = kshape
+    ok = kh == 4 and kw == 4 and cout <= 8 and h % 2 == 0 and w % 2 == 0
+    if not ok:
+        return False
+    if flag == '1':
+        return True
+    return jax.default_backend() == 'tpu'
+
+
 def conv_transpose2d(x, p, stride=2, padding=1, output_padding=1):
     """torch ConvTranspose2d equivalent.
 

@@ -149,5 +149,11 @@ def apply(p, x, *, n_blocks=9, norm='batch', use_dropout=True,
         x = L.relu(x)
 
     x = L.pad2d(x, 3, pad_head)
-    x = L.conv2d(x, p['tail_conv'], 1, 0)
+    cout = p['tail_conv']['w'].shape[-1]
+    if not train and L.s2d_applicable(x.shape[1], x.shape[2], cout):
+        # N=cout can't fill the MXU lanes; pack 8x8 output blocks into
+        # channels (see layers.conv2d_s2d) — ~10x faster tail on v5e.
+        x = L.conv2d_s2d(x, p['tail_conv'])
+    else:
+        x = L.conv2d(x, p['tail_conv'], 1, 0)
     return jnp.tanh(x)

@@ -69,7 +69,12 @@ def _apply_block(p, x, depth, num_downs, norm, use_dropout, train, rngs):
         h = L.conv2d(x, p['downconv'], 2, 1)
         h = _apply_block(p['sub'], h, depth + 1, num_downs, norm, use_dropout, train, rngs)
         h = L.relu(h)
-        h = L.conv_transpose2d(h, p['upconv'], 2, 1, 0)
+        if not train and L.ct_s2d_applicable(h.shape[1], h.shape[2],
+                                             p['upconv']['w'].shape):
+            # tiny-cout up-conv cannot fill the MXU lanes; see layers
+            h = L.conv_transpose2d_s2d(h, p['upconv'])
+        else:
+            h = L.conv_transpose2d(h, p['upconv'], 2, 1, 0)
         return jnp.tanh(h)
     if innermost:
         h = L.leaky_relu(x, 0.2)
