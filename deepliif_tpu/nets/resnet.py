@@ -89,12 +89,89 @@ def fused_applicable(h, w, ngf, norm, padding_type, train=False):
     return _fused_ok(probe, norm, padding_type, train, True)
 
 
+def _apply_fused(p, x, n_blocks, norm, padding_type, pad_head):
+    """Fully-fused inference path: every stage after the head conv runs as a
+    Pallas kernel that applies the previous stage's norm affine + ReLU on
+    the fly and emits the stats for the next one — norm passes never touch
+    HBM separately (ops.fused_stages + ops.fused_resblock)."""
+    from ..ops import fused_resblock as FR
+    from ..ops import fused_stages as FS
+
+    interpret = jax.default_backend() != 'tpu'
+    h0, w0 = x.shape[1], x.shape[2]
+
+    def wcast(name):
+        return p[name]['w'].astype(x.dtype)
+
+    x = L.pad2d(x, 3, pad_head)
+    x = L.conv2d(x, p['head_conv'], 1, 0)
+    st = jnp.stack([x.astype(jnp.float32).sum(axis=(1, 2)),
+                    (x.astype(jnp.float32) ** 2).sum(axis=(1, 2))], axis=1)
+    sc, bi = FR.finalize_norm(st, p['head_norm'], h0, w0)
+
+    x, st = FS.conv3x3_s2_stats(x, wcast('down0_conv'), in_scale=sc,
+                                in_bias=bi, in_relu=True, interpret=interpret)
+    sc, bi = FR.finalize_norm(st, p['down0_norm'], h0 // 2, w0 // 2)
+    x, st = FS.conv3x3_s2_stats(x, wcast('down1_conv'), in_scale=sc,
+                                in_bias=bi, in_relu=True, interpret=interpret)
+    sc, bi = FR.finalize_norm(st, p['down1_norm'], h0 // 4, w0 // 4)
+    x = jnp.maximum(x * sc[:, None, None].astype(x.dtype)
+                    + bi[:, None, None].astype(x.dtype), 0)
+
+    blocks = [{'w1': p[f'res{i}_conv1']['w'].astype(x.dtype),
+               'norm1': p[f'res{i}_norm1'],
+               'w2': p[f'res{i}_conv2']['w'].astype(x.dtype),
+               'norm2': p[f'res{i}_norm2']}
+              for i in range(n_blocks)]
+    x = FR.resblock_chain(x, blocks, padding=padding_type,
+                          interpret=interpret)
+
+    x, st = FS.convtranspose3_s2_stats(x, wcast('up0_conv'),
+                                       interpret=interpret)
+    sc, bi = FR.finalize_norm(st, p['up0_norm'], h0 // 2, w0 // 2)
+    x, st = FS.convtranspose3_s2_stats(x, wcast('up1_conv'), in_scale=sc,
+                                       in_bias=bi, in_relu=True,
+                                       interpret=interpret)
+    sc, bi = FR.finalize_norm(st, p['up1_norm'], h0, w0)
+    # tail runs in XLA: the Pallas tail kernel (tail_s2d_fused) measured
+    # SLOWER than the XLA space-to-depth lowering on v5e (25 vs 16 ms at
+    # batch 32 — per-grid-step overhead at 512 steps; larger chunks OOM
+    # VMEM), so only the norm application is saved here.
+    x = jnp.maximum(x * sc[:, None, None].astype(x.dtype)
+                    + bi[:, None, None].astype(x.dtype), 0)
+    x = L.pad2d(x, 3, pad_head)
+    cout = p['tail_conv']['w'].shape[-1]
+    if L.s2d_applicable(x.shape[1], x.shape[2], cout):
+        x = L.conv2d_s2d(x, p['tail_conv'])
+    else:
+        x = L.conv2d(x, p['tail_conv'], 1, 0)
+    return jnp.tanh(x)
+
+
 def apply(p, x, *, n_blocks=9, norm='batch', use_dropout=True,
           padding_type='reflect', upsample='convtranspose',
           train=False, rng=None, dtype=None, allow_fused=False):
     if dtype is not None:
         x = x.astype(dtype)
     pad_head = padding_type if padding_type == 'reflect' else 'zero'
+
+    # Fully-fused Pallas stage chain: OFF by default — despite winning in
+    # per-stage isolation (experiments/profile_fused_stages.json), the
+    # ensemble-level result LOST to the XLA path + fused resblocks + s2d
+    # tails (53.8 vs 59.3 tiles/s at batch 48 on v5e): pallas_call operands
+    # get relayout copies at each boundary and XLA loses cross-stage
+    # fusion/overlap freedom. Kept behind DEEPLIIF_FUSE_STAGES=1 as a
+    # measured experiment (kernels are parity-tested).
+    import os
+    if (os.environ.get('DEEPLIIF_FUSE_STAGES') == '1'
+            and allow_fused and not train and upsample == 'convtranspose'
+            and x.ndim == 4
+            and _fused_ok(jax.ShapeDtypeStruct(
+                (x.shape[0], x.shape[1] // 4, x.shape[2] // 4,
+                 p['down1_conv']['w'].shape[-1]), x.dtype),
+                norm, padding_type, train, use_dropout)
+            and x.shape[1] % 16 == 0 and x.shape[2] % 16 == 0):
+        return _apply_fused(p, x, n_blocks, norm, padding_type, pad_head)
 
     x = L.pad2d(x, 3, pad_head)
     x = L.conv2d(x, p['head_conv'], 1, 0)
