@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_TORCH_GPU_TPS = 2.5  # estimated reference throughput (see docstring)
-BATCH = 48                    # best measured throughput point on v5e (round 2)
+BATCH = 128                   # best measured throughput point on v5e (round 2)
 WARMUP = 2
 ITERS = 6
 

@@ -91,10 +91,11 @@ class InferenceSession:
         else:
             raise NotImplementedError(f'unknown model family {self.model}')
         if max_batch is None:
-            # measured throughput optimum on v5e: batch 48 bf16; f32 at the
-            # 512^2 flagship needs the smaller bucket to stay inside HBM
-            # (docs/Performance.md)
-            max_batch = 48 if self.d.dtype is not None else 16
+            # measured optimum on v5e (round 2): throughput keeps rising
+            # to the largest compilable batch (71.7 tiles/s at 128 vs 59.3
+            # at 48; 192 exceeds HBM at compile). Small inputs still use
+            # small power-of-two buckets (_bucket), so latency is unaffected.
+            max_batch = 128 if self.d.dtype is not None else 16
         self.max_batch = max_batch
         self.params = self._load_params(model_dir)
         self._jitted = {}
@@ -297,6 +298,15 @@ class InferenceSession:
                 chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:],
                                                         chunk.dtype)])
             res = fwd(self.params, jnp.asarray(chunk))  # async dispatch
+            # start the device->host copies now: they queue behind the
+            # compute and stream while the host prepares/dispatches the next
+            # bucket (device->host bandwidth is the ROI bottleneck on
+            # tunneled test rigs, ~20 MB/s; see docs/Performance.md)
+            for v in res.values():
+                try:
+                    v.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass
             valid = b - pad
             pending.append((nonempty[pos:pos + valid], valid, res))
             if len(pending) >= 2:

@@ -8,6 +8,10 @@ import os
 # jax captures JAX_PLATFORMS at import, so use config.update (backend
 # creation is lazy; XLA_FLAGS is read at client creation, so setting it here
 # still yields 8 virtual CPU devices).
+# remember the rig's real platform so opt-in hardware tests
+# (test_tpu_hardware.py) can restore it in their subprocesses
+os.environ.setdefault('DEEPLIIF_ORIG_JAX_PLATFORMS',
+                      os.environ.get('JAX_PLATFORMS', ''))
 os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:

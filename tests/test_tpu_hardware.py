@@ -1,0 +1,75 @@
+"""Opt-in real-TPU compile/run checks for the Pallas kernels.
+
+The default suite forces an 8-device CPU platform (conftest.py), so the
+Pallas kernels are only exercised in interpret mode there. Setting
+DEEPLIIF_TPU_TESTS=1 runs this module's subprocess checks on the real chip:
+each spawns a clean Python (no forced-CPU env) and asserts the fused
+resblock kernel and the s2d tail lowerings compile, execute, and match the
+XLA path on hardware. Slow (~minutes of TPU compiles) — excluded from the
+default run by the env gate, not by marks, so `pytest tests/` stays fast.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get('DEEPLIIF_TPU_TESTS') != '1',
+    reason='set DEEPLIIF_TPU_TESTS=1 to run real-TPU kernel checks')
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_on_tpu(code):
+    # undo the conftest CPU forcing for the child, but keep the platform
+    # plugin selection (JAX_PLATFORMS=axon + its sitecustomize PYTHONPATH)
+    env = {k: v for k, v in os.environ.items() if k != 'XLA_FLAGS'}
+    orig = env.pop('DEEPLIIF_ORIG_JAX_PLATFORMS', None)
+    if env.get('JAX_PLATFORMS') == 'cpu':
+        # restore the rig's real platform (recorded by conftest before it
+        # forced cpu); plain deletion would fall back to cpu when the
+        # platform is an opt-in plugin (axon)
+        if orig:
+            env['JAX_PLATFORMS'] = orig
+        else:
+            del env['JAX_PLATFORMS']
+    env['PYTHONPATH'] = REPO + os.pathsep + env.get('PYTHONPATH', '')
+    proc = subprocess.run([sys.executable, '-c', code], env=env,
+                          capture_output=True, text=True, timeout=1500)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return proc.stdout
+
+
+def test_fused_resblock_compiles_on_tpu():
+    out = _run_on_tpu('''
+import jax, jax.numpy as jnp, numpy as np
+assert jax.default_backend() == 'tpu', jax.default_backend()
+from deepliif_tpu.ops import fused_resblock as FR
+x = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 128, 256), jnp.bfloat16)
+blocks = [{'w1': 0.05 * jax.random.normal(jax.random.PRNGKey(1), (3, 3, 256, 256), jnp.bfloat16),
+           'norm1': {'scale': jnp.ones(256), 'bias': jnp.zeros(256)},
+           'w2': 0.05 * jax.random.normal(jax.random.PRNGKey(2), (3, 3, 256, 256), jnp.bfloat16),
+           'norm2': {'scale': jnp.ones(256), 'bias': jnp.zeros(256)}}]
+y = FR.resblock_chain(x, blocks, padding='reflect', interpret=False)
+print('resblock ok', np.asarray(y.astype(jnp.float32)).std())
+''')
+    assert 'resblock ok' in out
+
+
+def test_s2d_tail_matches_direct_on_tpu():
+    out = _run_on_tpu('''
+import os
+import jax, jax.numpy as jnp, numpy as np
+from deepliif_tpu.nets import layers as L
+p = {'w': 0.05 * jax.random.normal(jax.random.PRNGKey(0), (7, 7, 64, 3), jnp.bfloat16),
+     'b': jnp.zeros(3, jnp.bfloat16)}
+x = jax.random.normal(jax.random.PRNGKey(1), (2, 518, 518, 64), jnp.bfloat16)
+a = jax.jit(lambda x: L.conv2d(x, p, 1, 0))(x)
+b = jax.jit(lambda x: L.conv2d_s2d(x, p))(x)
+d = float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max())
+assert d < 0.05, d
+print('s2d ok', d)
+''')
+    assert 's2d ok' in out
