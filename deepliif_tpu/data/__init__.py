@@ -15,7 +15,8 @@ import threading
 
 import numpy as np
 
-from .aligned import AlignedDataset, UnalignedDataset  # noqa: F401
+from .aligned import (AlignedDataset, SingleDataset,  # noqa: F401
+                      UnalignedDataset)
 from .transforms import apply_transform, get_params  # noqa: F401
 
 
@@ -28,7 +29,9 @@ def transform(img):
 
 def create_dataset(opt, phase='train'):
     mode = getattr(opt, 'dataset_mode', 'aligned')
-    if getattr(opt, 'model', '') == 'CycleGAN' or mode == 'unaligned':
+    if mode == 'single':
+        ds = SingleDataset(opt, phase)
+    elif getattr(opt, 'model', '') == 'CycleGAN' or mode == 'unaligned':
         ds = UnalignedDataset(opt, phase)
     else:
         ds = AlignedDataset(opt, phase)

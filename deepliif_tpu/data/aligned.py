@@ -106,6 +106,32 @@ class AlignedDataset:
         raise ValueError(f'unsupported model {self.model}')
 
 
+class SingleDataset:
+    """One-sided image set (reference single_dataset.py:1-40): loads every
+    image under ``dataroot`` as domain A with the standard transform — used
+    for CycleGAN one-direction evaluation (``--dataset-mode single``)."""
+
+    def __init__(self, opt, phase='train'):
+        self.a_paths = make_dataset(opt.dataroot,
+                                    getattr(opt, 'max_dataset_size', None))
+        self.preprocess = getattr(opt, 'preprocess', 'resize_and_crop')
+        self.load_size = getattr(opt, 'load_size', 512)
+        self.crop_size = getattr(opt, 'crop_size', 512)
+        self.no_flip = getattr(opt, 'no_flip', True)
+
+    def __len__(self):
+        return len(self.a_paths)
+
+    def __getitem__(self, index):
+        path = self.a_paths[index % len(self.a_paths)]
+        img = Image.open(path).convert('RGB')
+        params = get_params(self.preprocess, self.load_size, self.crop_size,
+                            img.size)
+        a = apply_transform(img, self.preprocess, self.load_size,
+                            self.crop_size, self.no_flip, params)
+        return {'A': a, 'A_paths': path}
+
+
 class UnalignedDataset:
     """CycleGAN data: trainA + trainB1..BN with randomized B index
     (reference unaligned_dataset.py:8-90)."""

@@ -66,3 +66,26 @@ def test_train_cyclegan_one_epoch(tmp_path):
     assert int(state.step) == 2
     assert np.isfinite(float(metrics['loss_D']))
     assert (tmp_path / 'ckpt' / 'fam' / 'latest_net_GA.npz').exists()
+
+
+def test_single_dataset_mode(tmp_path):
+    """dataset_mode='single' loads a one-sided image dir (reference
+    single_dataset.py) — used for CycleGAN one-direction eval."""
+    import numpy as np
+    from PIL import Image
+    from types import SimpleNamespace
+    from deepliif_tpu.data import create_dataset
+
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            tmp_path / f'im{i}.png')
+    opt = SimpleNamespace(dataroot=str(tmp_path), dataset_mode='single',
+                          preprocess='resize_and_crop', load_size=32,
+                          crop_size=32, no_flip=True, batch_size=2,
+                          serial_batches=True, num_threads=0, rank=0,
+                          world_size=1)
+    loader = create_dataset(opt, phase='test')
+    batch = next(iter(loader))
+    assert batch['A'].shape == (2, 32, 32, 3)
+    assert len(batch['A_paths']) == 2
