@@ -109,6 +109,43 @@ def cli():
 @click.option('--model-dir-teacher', default=None,
               help='teacher model dir (required for DeepLIIFKD)')
 @click.option('--pool-size', default=50, type=int, help='CycleGAN image pool size')
+@click.option('--lr', default=None, type=float,
+              help='sets both --lr-g and --lr-d (reference single-lr flag)')
+@click.option('--init-type', default='normal',
+              help='normal | xavier | kaiming | orthogonal')
+@click.option('--init-gain', default=0.02, type=float)
+@click.option('--n-layers-d', default=4, type=int,
+              help='PatchGAN depth (reference n_layers_D)')
+@click.option('--net-ds', default='n_layers',
+              help='Ext seg discriminator architecture')
+@click.option('--input-nc', default=3, type=int)
+@click.option('--output-nc', default=3, type=int)
+@click.option('--label-smoothing', default=0.0, type=float,
+              help='CycleGAN GAN-loss label smoothing')
+@click.option('--modalities-names', default=None,
+              help='comma-separated modality names')
+@click.option('--num-threads', default=2, type=int, help='loader workers')
+@click.option('--serial-batches', is_flag=True)
+@click.option('--dataset-mode', default=None,
+              help='aligned | unaligned | single (default by model)')
+@click.option('--direction', default='AtoB', help='CycleGAN direction')
+@click.option('--debug', is_flag=True,
+              help='cap each epoch at --debug-data-size iterations')
+@click.option('--debug-data-size', default=10, type=int)
+@click.option('--verbose', is_flag=True, help='print parameter counts per net')
+@click.option('--load-iter', default=0, type=int,
+              help='resume from the iter_<N> checkpoint (with --save-by-iter)')
+@click.option('--gpu-ids', default=None, help='ignored on TPU (torch compat)')
+@click.option('--display-server', default=None, help='ignored (no visdom)')
+@click.option('--display-port', default=None, help='ignored (no visdom)')
+@click.option('--display-env', default=None, help='ignored (no visdom)')
+@click.option('--display-id', default=None, help='ignored (no visdom)')
+@click.option('--display-ncols', default=None, help='ignored (no visdom)')
+@click.option('--display-winsize', default=None, help='ignored (no visdom)')
+@click.option('--no-html', is_flag=True, help='skip HTML epoch galleries')
+@click.option('--update-html-freq', default=None, type=int,
+              help='ignored (galleries follow --display-freq)')
+@click.option('--local-rank', default=None, help='ignored (torch DDP compat)')
 @click.option('--monitor-image', default=None,
               help='only display visuals for rows whose path ends with this')
 def train(**kwargs):
@@ -117,6 +154,24 @@ def train(**kwargs):
     d_params.update({k: v for k, v in kwargs.items() if v is not None})
     m = d_params['modalities_no']
     model = d_params['model']
+
+    # torch-compat flags accepted and dropped (reference cli.py surface)
+    for ignored in ('gpu_ids', 'display_server', 'display_port',
+                    'display_env', 'display_id', 'display_ncols',
+                    'display_winsize', 'update_html_freq', 'local_rank'):
+        if d_params.pop(ignored, None) is not None:
+            click.echo(f'note: --{ignored.replace("_", "-")} is ignored on TPU')
+    lr = d_params.pop('lr', None)
+    if lr is not None:
+        d_params['lr_g'] = d_params['lr_d'] = lr
+    d_params['n_layers_D'] = d_params.pop('n_layers_d', 4)
+    names = d_params.pop('modalities_names', None)
+    if names:
+        d_params['modalities_names'] = [s.strip() for s in names.split(',')]
+    load_iter = d_params.pop('load_iter', 0)
+    if load_iter:
+        d_params['epoch'] = f'iter_{load_iter}'
+        d_params['continue_train'] = True
 
     def default_weights(default):
         if model in ('DeepLIIF', 'DeepLIIFKD') and m == 4:
@@ -136,7 +191,9 @@ def train(**kwargs):
     d_params['netG'] = d_params['net_g']
     d_params['netD'] = d_params['net_d']
     d_params['phase'] = 'train'
-    d_params['dataset_mode'] = ('unaligned' if model == 'CycleGAN' else 'aligned')
+    if not d_params.get('dataset_mode'):
+        d_params['dataset_mode'] = ('unaligned' if model == 'CycleGAN'
+                                    else 'aligned')
 
     # infer per-modality background colors from empty training tiles
     # (reference cli.py:326-331) — used by the inference empty-tile fill

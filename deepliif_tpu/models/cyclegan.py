@@ -179,11 +179,15 @@ def g_loss_fn(g_params, d_params, real_as, real_bs, d: CycleGANDef, vgg_params,
     w_cyc = jnp.asarray(d.loss_cyc_weights, jnp.float32)
 
     pa = jax.vmap(lambda p, x: da.apply(p, x))(d_params['DA'], fake_bs)
-    loss_ga = (jax.vmap(lambda p: losses.gan_loss(p, True, d.gan_mode))(pa) * w_g).sum()
+    # label smoothing scales the G-side real target too (reference
+    # CycleGAN_model.py:113 shares one criterionGAN across G and D)
+    loss_ga = (jax.vmap(lambda p: losses.gan_loss(
+        p, True, d.gan_mode, d.label_smoothing))(pa) * w_g).sum()
     loss_ga = loss_ga + (jax.vmap(lambda a, b: vgg.vgg_loss(vgg_params, a, b))(
         fake_bs, real_bs) * w_g).sum()
     pb = jax.vmap(lambda p, x: db.apply(p, x))(d_params['DB'], fake_as)
-    loss_gb = (jax.vmap(lambda p: losses.gan_loss(p, True, d.gan_mode))(pb) * w_g).sum()
+    loss_gb = (jax.vmap(lambda p: losses.gan_loss(
+        p, True, d.gan_mode, d.label_smoothing))(pb) * w_g).sum()
     loss_gb = loss_gb + (jax.vmap(lambda a, b: vgg.vgg_loss(vgg_params, a, b))(
         fake_as, real_as) * w_g).sum()
 

@@ -177,6 +177,16 @@ def train_model(opt):
     else:
         state, g_tx, d_tx = dl.create_train_state(key, d, opt, steps_per_epoch)
 
+    if getattr(opt, 'verbose', False):
+        # reference --verbose prints per-net architectures; parameter counts
+        # are the functional equivalent for a params-pytree model
+        for group_name, group in (('G', state.g_params),
+                                  ('D', state.d_params)):
+            for net, tree in group.items():
+                n = sum(int(np.prod(np.shape(x)))
+                        for x in jax.tree_util.tree_leaves(tree))
+                print(f'[network {group_name}:{net}] parameters: {n / 1e6:.3f} M')
+
     save_dir = os.path.join(opt.checkpoints_dir, opt.name)
     epoch_base = 0
     if getattr(opt, 'continue_train', False):
@@ -307,6 +317,13 @@ def train_model(opt):
                 suffix = f'iter_{total_iters}' if save_by_iter else 'latest'
                 _save_state(save_dir, state, suffix, getattr(opt, 'remote_transfer_cmd', None), getattr(opt, 'checkpoint_format', 'npz'))
             iter_data_time = time.time()
+
+            if (getattr(opt, 'debug', False)
+                    and epoch_iter >= getattr(opt, 'debug_data_size', 10)):
+                # reference cli.py:479-481: debug mode caps each epoch
+                print(f'debug mode, epoch {epoch} stopped at epoch iter '
+                      f'{epoch_iter}')
+                break
 
         if epoch % save_epoch_freq == 0:
             _save_state(save_dir, state, 'latest', getattr(opt, 'remote_transfer_cmd', None), getattr(opt, 'checkpoint_format', 'npz'))

@@ -33,6 +33,7 @@ class Visualizer:
         self.log_name = os.path.join(self.save_dir, 'loss_log.txt')
         self.metrics_path = os.path.join(self.save_dir, 'metrics_log.json')
         self.remote = getattr(opt, 'remote', False)
+        self.no_html = getattr(opt, 'no_html', False)
         self.pickle_dir = os.path.join(self.save_dir, 'pickle')
         if self.remote:
             os.makedirs(self.pickle_dir, exist_ok=True)
@@ -99,7 +100,8 @@ class Visualizer:
             u8[label] = a
             Image.fromarray(a).save(
                 os.path.join(self.img_dir, f'epoch{epoch:03d}_{label}.png'))
-        self._write_html()
+        if not self.no_html:
+            self._write_html()
         if self.remote:
             # pickle the actual images so `deepliif-tpu visualize` can replay
             # the grid on another machine (reference visualizer.py:90-107)

@@ -150,3 +150,32 @@ def test_wsi_seg_intermediate_forwarded(tiny_model_dir, tmp_path):
                           seg_intermediate=True)
     names = os.listdir(out_dir)
     assert any('_s.' in n or '_s_' in n for n in names), names
+
+
+def test_debug_mode_caps_epoch(tmp_path, capsys):
+    """--debug stops each epoch at --debug-data-size iterations (reference
+    cli.py:479-481)."""
+    _write_rows(str(tmp_path / 'data' / 'train'), 4, count=6)
+    opt = _opt(tmp_path, debug=True, debug_data_size=2, verbose=True,
+               no_html=True)
+    train_model(opt)
+    out = capsys.readouterr().out
+    assert 'debug mode, epoch 1 stopped at epoch iter 2' in out
+    # --verbose prints per-net parameter counts
+    assert '[network G:' in out and 'parameters:' in out
+    # --no-html suppresses the gallery
+    assert not os.path.exists(
+        os.path.join(str(tmp_path / 'ckpt'), 'flags', 'web', 'index.html'))
+
+
+def test_train_cli_flag_mapping():
+    """--lr sets both optimizers; --n-layers-d maps to n_layers_D;
+    torch-compat display/gpu flags are accepted and dropped."""
+    from click.testing import CliRunner
+    from deepliif_tpu.cli import cli as cli_group
+    r = CliRunner().invoke(cli_group, ['train', '--help'])
+    assert r.exit_code == 0
+    for flag in ('--lr', '--init-type', '--n-layers-d', '--net-ds',
+                 '--label-smoothing', '--dataset-mode', '--debug',
+                 '--gpu-ids', '--display-port', '--no-html', '--verbose'):
+        assert flag in r.output, flag
