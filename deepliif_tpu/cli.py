@@ -246,7 +246,14 @@ def trainlaunch(ctx):
 @click.option('--output-dir', help='saves results here', default=None)
 @click.option('--verify/--no-verify', 'do_verify', default=True,
               help='run the eager-vs-serialized parity check')
-def serialize(model_dir, output_dir, do_verify):
+@click.option('--epoch', default='latest',
+              help='checkpoint suffix to serialize (reference --epoch)')
+@click.option('--tile-size', default=None, type=int,
+              help='parity-check tile size (default: model scale_size)')
+@click.option('--device', default=None, help='ignored on TPU (torch compat)')
+@click.option('--verbose', is_flag=True, help='print serialized net names')
+def serialize(model_dir, output_dir, do_verify, epoch, tile_size, device,
+              verbose):
     """Convert a model dir (torch or native) to the native npz artifact.
 
     Parity contract as the reference serialize (cli.py:763-830): the
@@ -259,8 +266,13 @@ def serialize(model_dir, output_dir, do_verify):
     output_dir = output_dir or model_dir
     ensure_exists(output_dir)
 
-    session = InferenceSession(model_dir)
+    if device is not None:
+        click.echo('note: --device is ignored on TPU')
+    session = InferenceSession(model_dir, epoch=epoch)
     checkpoints.save_networks(output_dir, session.params)
+    if verbose:
+        for name in session.params:
+            click.echo(f'serialized net {name}')
     for fn in ('train_opt.txt', 'config.json'):
         src = os.path.join(model_dir, fn)
         if os.path.exists(src) and os.path.abspath(model_dir) != os.path.abspath(output_dir):
@@ -270,7 +282,7 @@ def serialize(model_dir, output_dir, do_verify):
 
     if do_verify:
         import numpy as np
-        size = getattr(session.opt, 'scale_size', 512)
+        size = tile_size or getattr(session.opt, 'scale_size', 512)
         nc = 3 * getattr(session.opt, 'input_no', 1)
         rng = np.random.default_rng(0)
         tile = rng.integers(0, 255, (1, size, size, nc), np.uint8)
@@ -310,7 +322,7 @@ def import_model(torch_dir, output_dir, do_verify):
 
     if do_verify:
         import numpy as np
-        size = getattr(session.opt, 'scale_size', 512)
+        size = tile_size or getattr(session.opt, 'scale_size', 512)
         nc = 3 * getattr(session.opt, 'input_no', 1)
         tile = np.random.default_rng(0).integers(0, 255, (1, size, size, nc),
                                                  np.uint8)
@@ -348,9 +360,12 @@ def import_model(torch_dir, output_dir, do_verify):
 @click.option('--device-quant', is_flag=True,
               help='run quantification (labeling/thresholds/overlays) as '
                    'one jitted XLA program instead of the host path')
+@click.option('--gpu-ids', default=None, help='ignored on TPU (torch compat)')
 def test(input_dir, output_dir, tile_size, model_dir, filename_pattern,
          eager_mode, epoch, seg_intermediate, seg_only, mod_only, color_dapi,
-         color_marker, btoa, max_batch, device_quant):
+         color_marker, btoa, max_batch, device_quant, gpu_ids):
+    if gpu_ids is not None:
+        click.echo('note: --gpu-ids is ignored on TPU')
     """Run tiled inference + quantification over a directory of images."""
     from PIL import Image
     from .models import infer_modalities
@@ -470,14 +485,20 @@ def _resolve_wsi_tile_size(tile_size, input_dir, filename):
 @click.option('--region-size', default=20000, type=int)
 @click.option('--seg-intermediate', is_flag=True)
 @click.option('--seg-only', is_flag=True)
+@click.option('--color-dapi', is_flag=True,
+              help='color the DAPI modality (reference test_wsi flag)')
+@click.option('--color-marker', is_flag=True,
+              help='color the marker modality (reference test_wsi flag)')
 def test_wsi(input_dir, filename, output_dir, tile_size, model_dir,
-             region_size, seg_intermediate, seg_only):
+             region_size, seg_intermediate, seg_only, color_dapi,
+             color_marker):
     """Whole-slide inference: region streaming + stitched pyramid output."""
     from .utils.wsi import infer_results_for_wsi
     tile_size = _resolve_wsi_tile_size(tile_size, input_dir, filename)
     infer_results_for_wsi(input_dir, filename, output_dir, model_dir,
                           tile_size, region_size, seg_only=seg_only,
-                          seg_intermediate=seg_intermediate)
+                          seg_intermediate=seg_intermediate,
+                          color_dapi=color_dapi, color_marker=color_marker)
 
 
 @cli.command(name='wsi-cells')
@@ -632,7 +653,8 @@ def serve(model_dir, host, port, max_batch):
 @cli.command()
 @click.option('--pickle-dir', required=True,
               help='directory where the pickled snapshots are stored')
-def visualize(pickle_dir):
+@click.option('--display-env', default=None, help='ignored (no visdom)')
+def visualize(pickle_dir, display_env):
     """Poll pickled training snapshots and regenerate plots AND the image
     gallery (reference cli.py:1018-1052 replays both into visdom; we render
     JSON + a PNG/HTML gallery under <pickle-dir>/web/)."""

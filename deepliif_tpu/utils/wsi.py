@@ -119,7 +119,8 @@ def get_wsi_resolution(path_or_mag, tile_size_base=512):
 
 def infer_results_for_wsi(input_dir, filename, output_dir, model_dir,
                           tile_size, region_size=20000, seg_only=False,
-                          seg_intermediate=False):
+                          seg_intermediate=False, color_dapi=False,
+                          color_marker=False):
     """Region loop over the slide; accumulates modality canvases + counts
     (reference models/__init__.py:663-727)."""
     from ..models import infer_modalities, init_nets
@@ -171,6 +172,8 @@ def infer_results_for_wsi(input_dir, filename, output_dir, model_dir,
         images, scoring = infer_modalities(img, tile_size, model_dir,
                                            opt=session.opt,
                                            seg_only=seg_only,
+                                           color_dapi=color_dapi,
+                                           color_marker=color_marker,
                                            return_seg_intermediate=seg_intermediate)
         for name, im in images.items():
             if name not in canvases:
