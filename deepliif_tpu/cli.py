@@ -322,7 +322,7 @@ def import_model(torch_dir, output_dir, do_verify):
 
     if do_verify:
         import numpy as np
-        size = tile_size or getattr(session.opt, 'scale_size', 512)
+        size = getattr(session.opt, 'scale_size', 512)
         nc = 3 * getattr(session.opt, 'input_no', 1)
         tile = np.random.default_rng(0).integers(0, 255, (1, size, size, nc),
                                                  np.uint8)
