@@ -146,6 +146,9 @@ def cli():
 @click.option('--update-html-freq', default=None, type=int,
               help='ignored (galleries follow --display-freq)')
 @click.option('--local-rank', default=None, help='ignored (torch DDP compat)')
+@click.option('--checkpoint-format', default='npz',
+              type=click.Choice(['npz', 'orbax']),
+              help='checkpoint backend (orbax: atomic, async-capable)')
 @click.option('--monitor-image', default=None,
               help='only display visuals for rows whose path ends with this')
 def train(**kwargs):
