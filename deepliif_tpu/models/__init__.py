@@ -214,12 +214,19 @@ class InferenceSession:
         return [f'G_{i+1}' for i in range(m)]
 
     def run_tiles(self, tiles_u8, seg_weights=None, seg_only=False,
-                  mod_only=False, return_intermediate=False):
+                  mod_only=False, return_intermediate=False,
+                  device_keys=()):
         """tiles_u8: (N, s, s, 3) uint8 -> dict of (N, s, s, 3) uint8 outputs
         keyed by net id (G1..Gm, GS, and GS0..GSm when intermediates wanted).
 
         Empty tiles are detected host-side and filled with background colors
         (reference run_wrapper, models/__init__.py:399-461).
+
+        ``device_keys``: output keys to KEEP ON DEVICE — they are excluded
+        from the host dict and returned in a second dict of jnp uint8
+        arrays (N, s, s, 3), for fused pipelines (device stitch +
+        quantification) that never fetch the tiles. When non-empty the
+        return value is ``(host_out, device_out)``.
         """
         from ..utils import luma_u8
         n = tiles_u8.shape[0]
@@ -257,7 +264,11 @@ class InferenceSession:
                 for i in range(m):
                     out[f'GS_{i+1}'] = np.zeros((n, th, tw, 3), np.uint8)
 
+        assert all(k == 'GS' for k in device_keys), device_keys
+
         if len(nonempty) == 0:
+            if device_keys:
+                return out, {k: jnp.asarray(out.pop(k)) for k in device_keys}
             return out
 
         x_all = tiles_u8[nonempty]  # normalization happens on device
@@ -269,6 +280,8 @@ class InferenceSession:
                             seg_only=use_seg_only, mod_only=mod_only)
         marker_idx = self._marker_index() if use_seg_only else None
 
+        dev_parts = {k: [] for k in device_keys}
+
         def _drain(idx, valid, res):
             # device->host fetch of one bucket's outputs
             if 'mods' in res:
@@ -278,7 +291,10 @@ class InferenceSession:
             elif 'marker' in res and marker_idx is not None:
                 out[mod_keys[marker_idx]][idx] = np.asarray(res['marker'])[:valid]
             if 'seg' in res and not mod_only:
-                out['GS'][idx] = np.asarray(res['seg'])[:valid]
+                if 'GS' in dev_parts:
+                    dev_parts['GS'].append((idx, res['seg'][:valid]))
+                else:
+                    out['GS'][idx] = np.asarray(res['seg'])[:valid]
             if 'segs' in res and not mod_only:
                 segs = np.asarray(res['segs'])
                 for i in range(segs.shape[0]):
@@ -301,8 +317,11 @@ class InferenceSession:
             # start the device->host copies now: they queue behind the
             # compute and stream while the host prepares/dispatches the next
             # bucket (device->host bandwidth is the ROI bottleneck on
-            # tunneled test rigs, ~20 MB/s; see docs/Performance.md)
-            for v in res.values():
+            # tunneled test rigs, ~20 MB/s; see docs/Performance.md).
+            # Device-kept keys are never copied.
+            for rk, v in res.items():
+                if rk == 'seg' and 'GS' in dev_parts:
+                    continue
                 try:
                     v.copy_to_host_async()
                 except (AttributeError, RuntimeError):
@@ -314,6 +333,17 @@ class InferenceSession:
             pos += valid
         while pending:
             _drain(*pending.popleft())
+
+        if device_keys:
+            dev_out = {}
+            for k in device_keys:
+                # background-filled base (zeros for seg keys) + the computed
+                # tiles scattered at their indices — all on device
+                full = jnp.asarray(out.pop(k))
+                for idx, arr in dev_parts[k]:
+                    full = full.at[jnp.asarray(idx)].set(arr)
+                dev_out[k] = full
+            return out, dev_out
         return out
 
 
@@ -346,7 +376,8 @@ def is_empty(tile):
 def inference(img, tile_size, overlap_size, model_path, use_torchserve=False,
               eager_mode=False, color_dapi=False, color_marker=False, opt=None,
               return_seg_intermediate=False, seg_only=False, mod_only=False,
-              seg_weights=None, opt_args=None, session=None, max_batch=None):
+              seg_weights=None, opt_args=None, session=None, max_batch=None,
+              _device_seg=False):
     """Tiled ensemble inference on a PIL image; returns {name: PIL.Image}.
 
     Output key naming matches the reference inference()
@@ -393,9 +424,35 @@ def inference(img, tile_size, overlap_size, model_path, use_torchserve=False,
     else:
         net_in = _resize(tiles)
 
-    results_net = session.run_tiles(net_in, seg_weights=seg_weights,
-                                    seg_only=seg_only, mod_only=mod_only,
-                                    return_intermediate=return_seg_intermediate)
+    # fused device path: keep the seg tiles on device, stitch them there
+    # with the ownership-map gather (exact stitch_batch semantics, see
+    # utils/tiler.py), and hand the canvas straight to the device
+    # quantifier — the seg never round-trips through the host between
+    # stages (BASELINE north star). The 'Seg' output image is one fetch of
+    # the stitched canvas instead of a fetch per tile.
+    use_device_seg = (
+        _device_seg and session.family == 'deepliif'
+        and getattr(opt, 'seg_gen', True) and not mod_only
+        and not return_seg_intermediate
+        and tiler.pad_size == 0 and scale_size == tile_size
+        and not isinstance(tiles, list))
+    seg_canvas = None
+    if use_device_seg:
+        results_net, dev = session.run_tiles(
+            net_in, seg_weights=seg_weights, seg_only=seg_only,
+            mod_only=mod_only, return_intermediate=False,
+            device_keys=('GS',))
+        tile_idx, ty, tx = tiler.ownership_maps()
+        seg_canvas = dev['GS'][jnp.asarray(tile_idx),
+                               jnp.asarray(ty)[:, None],
+                               jnp.asarray(tx)[None, :]]
+        seg_canvas = seg_canvas[:tiler.orig_height, :tiler.orig_width]
+        results_net = dict(results_net)
+    else:
+        results_net = session.run_tiles(
+            net_in, seg_weights=seg_weights, seg_only=seg_only,
+            mod_only=mod_only,
+            return_intermediate=return_seg_intermediate)
 
     for key, batch in results_net.items():
         if batch.shape[1] != tile_size:
@@ -405,6 +462,10 @@ def inference(img, tile_size, overlap_size, model_path, use_torchserve=False,
                 for t in batch])
         tiler.stitch_batch(key, batch)
     results = {k: Image.fromarray(v) for k, v in tiler.results().items()}
+    if seg_canvas is not None:
+        # one fetch of the device-stitched canvas (identical bytes to the
+        # host stitch; the device array also feeds the quantifier directly)
+        results['GS'] = Image.fromarray(np.asarray(seg_canvas))
 
     # ---- output naming (parity with reference models/__init__.py:502-565)
     m = opt.modalities_no
@@ -413,11 +474,13 @@ def inference(img, tile_size, overlap_size, model_path, use_torchserve=False,
         if getattr(opt, 'seg_gen', True) and not mod_only:
             images.update({f'Seg{i}': results[f'GS_{i}']
                            for i in range(1, m + 1) if f'GS_{i}' in results})
-        return images
+        return (images, None) if _device_seg else images
     if opt.model == 'SDG':
-        return {f'mod{i}': results[f'G_{i}'] for i in range(1, m + 1)}
+        images = {f'mod{i}': results[f'G_{i}'] for i in range(1, m + 1)}
+        return (images, None) if _device_seg else images
     if opt.model == 'CycleGAN':
-        return results  # default net-name keys (reference behavior)
+        # default net-name keys (reference behavior)
+        return (results, None) if _device_seg else results
 
     input_no = getattr(opt, 'input_no', 1)
     modality_names = getattr(opt, 'modalities_names',
@@ -448,12 +511,13 @@ def inference(img, tile_size, overlap_size, model_path, use_torchserve=False,
         for i, nm in enumerate(l_seg):
             if f'GS{i}' in results:
                 images[f'{nm}_s'] = results[f'GS{i}']
-    return images
+    return (images, seg_canvas) if _device_seg else images
 
 
 def postprocess(orig, images, tile_size, model, seg_thresh=120,
                 size_thresh='default', marker_thresh=None,
-                size_thresh_upper=None, device_quant=False):
+                size_thresh_upper=None, device_quant=False,
+                seg_device=None):
     """Quantification: overlay/refined masks + IHC scoring dict.
 
     Resolution from tile size (reference models/__init__.py:582-610):
@@ -476,8 +540,11 @@ def postprocess(orig, images, tile_size, model, seg_thresh=120,
             resolution, size_thresh, marker_thresh, size_thresh_upper, seg_thresh)
         if device_quant:
             from ..ops.labeling import compute_final_results_device
+            # seg_device: the device-stitched canvas from the fused
+            # inference path — the seg never round-tripped to host
+            seg_arg = seg_device if seg_device is not None else args[1]
             overlay, refined, scoring = compute_final_results_device(
-                args[0], args[1], args[2], resolution,
+                args[0], seg_arg, args[2], resolution,
                 size_thresh=size_thresh, marker_thresh=marker_thresh,
                 size_thresh_upper=size_thresh_upper, seg_thresh=seg_thresh)
         else:
@@ -519,13 +586,17 @@ def infer_modalities(img, tile_size, model_dir, eager_mode=False,
         model_path=model_dir, opt=opt,
         return_seg_intermediate=return_seg_intermediate,
         seg_only=seg_only, mod_only=mod_only, seg_weights=seg_weights,
-        session=session)
+        session=session, _device_seg=device_quant)
+    seg_device = None
+    if device_quant:
+        images, seg_device = images
 
     if getattr(opt, 'seg_gen', True):
         if not mod_only:
             post_images, scoring = postprocess(img, images, tile_size,
                                                opt.model,
-                                               device_quant=device_quant)
+                                               device_quant=device_quant,
+                                               seg_device=seg_device)
             images = {**images, **post_images}
             if seg_only:
                 for name in [k for k in images if 'Seg' not in k]:

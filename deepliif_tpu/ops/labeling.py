@@ -512,16 +512,21 @@ def compute_final_results_device(orig_u8, seg_u8, marker_u8=None,
 
 def _finish(run, orig_u8, seg_u8, marker_u8, size_thresh, size_thresh_upper,
             seg_thresh, marker_thresh):
-    seg_np = np.asarray(seg_u8)
+    # seg may arrive as a DEVICE array (the fused inference path stitches it
+    # on device); keep it there — padding happens with jnp ops, no fetch
+    seg_on_device = isinstance(seg_u8, jnp.ndarray)
+    seg_in = seg_u8 if seg_on_device else np.asarray(seg_u8)
     orig_np = np.asarray(orig_u8)
-    h0, w0 = seg_np.shape[:2]
+    h0, w0 = int(seg_in.shape[0]), int(seg_in.shape[1])
     # pad to multiples of 256 to bound jit-cache growth across canvas sizes;
     # zero padding is 'unknown' and border-connected, so it floods to
     # background and cannot affect counts
     ph = (-h0) % 256
     pw = (-w0) % 256
     if ph or pw:
-        seg_np = np.pad(seg_np, ((0, ph), (0, pw), (0, 0)))
+        pad3 = ((0, ph), (0, pw), (0, 0))
+        seg_in = (jnp.pad(seg_in, pad3) if seg_on_device
+                  else np.pad(seg_in, pad3))
         orig_np = np.pad(orig_np, ((0, ph), (0, pw), (0, 0)))
     marker = None
     if marker_u8 is not None:
@@ -529,7 +534,7 @@ def _finish(run, orig_u8, seg_u8, marker_u8, size_thresh, size_thresh_upper,
         if ph or pw:
             m = np.pad(m, ((0, ph), (0, pw)))
         marker = jnp.asarray(m)
-    out = run(jnp.asarray(seg_np), jnp.asarray(orig_np), marker)
+    out = run(jnp.asarray(seg_in), jnp.asarray(orig_np), marker)
 
     num_pos = int(out['num_pos'])
     num_neg = int(out['num_neg'])

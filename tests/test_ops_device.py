@@ -209,3 +209,51 @@ def test_infer_modalities_device_quant(tmp_path):
     for k in ('num_total', 'num_pos', 'num_neg', 'percent_pos'):
         assert dev_score[k] == host_score[k], (k, dev_score, host_score)
     assert 'SegOverlaid' in images and 'SegRefined' in images
+
+
+def test_fused_device_seg_pipeline(tmp_path):
+    """device_quant=True runs the fused path: seg tiles stay on device, are
+    stitched there via ownership_maps, and feed the device quantifier with
+    no host round-trip. Outputs ('Seg' image bytes, scoring) must equal the
+    host path exactly."""
+    import json
+    from types import SimpleNamespace
+
+    import jax
+    from PIL import Image
+
+    from deepliif_tpu.models import deepliif as dl, infer_modalities
+    from deepliif_tpu.utils import checkpoints
+
+    md = tmp_path / 'model'
+    md.mkdir()
+    d = dl.DeepLIIFDef(modalities_no=2, net_g=('resnet_6blocks',) * 2,
+                       net_gs=('unet_32',) * 3, ngf=8, ndf=8,
+                       seg_weights=(0.4, 0.3, 0.3))
+    params = dl.init_params(jax.random.PRNGKey(7), d,
+                            with_discriminators=False)
+    checkpoints.save_networks(str(md), params)
+    json.dump({'model': 'DeepLIIF', 'modalities_no': 2, 'seg_gen': True,
+               'seg_no': 1, 'input_no': 1, 'netG': 'resnet_6blocks',
+               'net_gs': 'unet_32', 'ngf': 8, 'ndf': 8, 'norm': 'batch',
+               'no_dropout': False, 'padding': 'zero',
+               'upsample': 'convtranspose', 'scale_size': 64,
+               'seg_weights': [0.4, 0.3, 0.3],
+               'modalities_names': ['IHC', 'ModA', 'Marker'],
+               'background_colors': [(201, 211, 208), (10, 10, 10)]},
+              open(md / 'config.json', 'w'))
+
+    rng = np.random.default_rng(3)
+    img = Image.fromarray(rng.integers(0, 255, (100, 150, 3), np.uint8))
+
+    host_images, host_scoring = infer_modalities(img, 64, str(md),
+                                                 device_quant=False)
+    dev_images, dev_scoring = infer_modalities(img, 64, str(md),
+                                               device_quant=True)
+
+    assert set(host_images) == set(dev_images)
+    np.testing.assert_array_equal(np.asarray(host_images['Seg']),
+                                  np.asarray(dev_images['Seg']))
+    for k in ('num_total', 'num_pos', 'num_neg', 'percent_pos'):
+        assert host_scoring[k] == dev_scoring[k], (k, host_scoring,
+                                                   dev_scoring)
