@@ -358,8 +358,9 @@ def import_model(torch_dir, output_dir, do_verify):
 @click.option('--color-marker', is_flag=True)
 @click.option('--btoa', '--BtoA', 'btoa', is_flag=True)
 @click.option('--max-batch', default=None, type=int,
-              help='tile-batch bucket cap (default: 32 bf16 / 16 f32, the '
-                   'measured v5e optima)')
+              help='tile-batch bucket cap (default: 128 bf16 / 16 f32 per '
+                   'chip, scaled by the device count; 128 is the measured '
+                   'v5e optimum)')
 @click.option('--device-quant', is_flag=True,
               help='run quantification (labeling/thresholds/overlays) as '
                    'one jitted XLA program instead of the host path')
@@ -645,7 +646,8 @@ def compute_statistics(gt_dir, model_output_dir, model_name, image_size,
 @click.option('--host', default='0.0.0.0')
 @click.option('--port', default=8080, type=int)
 @click.option('--max-batch', default=None, type=int,
-              help='tile-batch bucket cap (default: 32 bf16 / 16 f32)')
+              help='tile-batch bucket cap (default: 128 bf16 / 16 f32 per '
+                   'chip, scaled by the device count)')
 def serve(model_dir, host, port, max_batch):
     """Run the REST API server (POST /api/infer, /api/postprocess) —
     the reference cloud contract, so the ImageJ plugin works unchanged."""

@@ -48,13 +48,15 @@ def find_model_using_name(name):
     return MODEL_REGISTRY[name]
 
 
-def _bucket(n, max_batch=16):
+def _bucket(n, max_batch=16, multiple=1):
     """Pad batch count to a power-of-two bucket (clamped to max_batch, which
-    may be any positive int) to bound recompiles."""
-    b = 1
+    may be any positive int) to bound recompiles. ``multiple`` (the device
+    count under mesh sharding) is the minimum bucket so every bucket divides
+    evenly across the mesh; it wins over max_batch if they conflict."""
+    b = max(1, multiple)
     while b < n and b < max_batch:
         b *= 2
-    return min(b, max_batch)
+    return max(multiple, min(b, max_batch))
 
 
 class InferenceSession:
@@ -68,7 +70,7 @@ class InferenceSession:
     """
 
     def __init__(self, model_dir, opt=None, phase='test', max_batch=None,
-                 epoch='latest'):
+                 epoch='latest', n_devices=None):
         self.model_dir = model_dir
         self.opt = opt if opt is not None else get_opt(model_dir, mode=phase)
         self.epoch = str(epoch)
@@ -90,14 +92,31 @@ class InferenceSession:
             self.d = cg.def_from_opt(self.opt)
         else:
             raise NotImplementedError(f'unknown model family {self.model}')
+        # Multi-chip: when more than one device is visible (a real v5e-8 or
+        # the 8-virtual-device CPU test mesh), batch tiles across chips with
+        # params replicated and the tile batch sharded along a 'data' axis —
+        # the product-path replacement for the reference's Dask net-group
+        # placement (/root/reference/deepliif/models/__init__.py:172-219).
+        # Override with n_devices= or DEEPLIIF_INFER_DEVICES=N (N=1 forces
+        # the single-device path).
+        from .. import parallel
+        if n_devices is None:
+            env = os.environ.get('DEEPLIIF_INFER_DEVICES')
+            n_devices = int(env) if env else len(jax.devices())
+        self.n_devices = max(1, min(int(n_devices), len(jax.devices())))
+        self.mesh = (parallel.get_mesh(self.n_devices)
+                     if self.n_devices > 1 else None)
         if max_batch is None:
             # measured optimum on v5e (round 2): throughput keeps rising
             # to the largest compilable batch (71.7 tiles/s at 128 vs 59.3
-            # at 48; 192 exceeds HBM at compile). Small inputs still use
-            # small power-of-two buckets (_bucket), so latency is unaffected.
-            max_batch = 128 if self.d.dtype is not None else 16
+            # at 48; 192 exceeds HBM at compile). Per chip; scaled by the
+            # mesh size. Small inputs still use small power-of-two buckets
+            # (_bucket), so latency is unaffected.
+            max_batch = (128 if self.d.dtype is not None else 16) * self.n_devices
         self.max_batch = max_batch
         self.params = self._load_params(model_dir)
+        if self.mesh is not None:
+            self.params = parallel.replicate(self.mesh, self.params)
         self._jitted = {}
 
     def _init_like(self):
@@ -148,6 +167,10 @@ class InferenceSession:
         if key not in self._jitted:
             import dataclasses
             d = self.d
+            if self.mesh is not None and hasattr(d, 'allow_fused'):
+                # pallas_call has no SPMD partitioning rules — keep the
+                # sharded program on the pure-XLA path
+                d = dataclasses.replace(d, allow_fused=False)
             if mod_only and self.family == 'deepliif' and d.seg_gen:
                 # prune the 5 seg branches entirely (reference mod_only skips
                 # stage 2, models/__init__.py:330-334)
@@ -201,7 +224,11 @@ class InferenceSession:
                     mods = cg.inference_forward(params, _norm(x), d, bto_a)
                     return {'mods': _quantize_u8(mods)}
 
-            self._jitted[key] = jax.jit(fn)
+            if self.mesh is not None:
+                from .. import parallel
+                self._jitted[key] = parallel.make_sharded_forward(fn, self.mesh)
+            else:
+                self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
 
     def _mod_keys(self):
@@ -304,16 +331,23 @@ class InferenceSession:
         # two-deep pipeline: dispatch bucket i+1 (async) before fetching
         # bucket i, so the host upload/download overlaps device compute
         from collections import deque
+        if self.mesh is not None:
+            from .. import parallel
+            in_sharding = parallel.batch_sharded(self.mesh)
         pending = deque()
         pos = 0
         while pos < len(nonempty):
-            b = _bucket(len(nonempty) - pos, self.max_batch)
+            b = _bucket(len(nonempty) - pos, self.max_batch, self.n_devices)
             chunk = x_all[pos:pos + b]
             pad = b - chunk.shape[0]
             if pad:
                 chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:],
                                                         chunk.dtype)])
-            res = fwd(self.params, jnp.asarray(chunk))  # async dispatch
+            if self.mesh is not None:
+                x_dev = jax.device_put(chunk, in_sharding)
+            else:
+                x_dev = jnp.asarray(chunk)
+            res = fwd(self.params, x_dev)  # async dispatch
             # start the device->host copies now: they queue behind the
             # compute and stream while the host prepares/dispatches the next
             # bucket (device->host bandwidth is the ROI bottleneck on
@@ -352,11 +386,13 @@ def _quantize_u8(y):
 
 
 @functools.lru_cache(maxsize=8)
-def init_nets(model_dir, phase='test', epoch='latest', max_batch=None):
+def init_nets(model_dir, phase='test', epoch='latest', max_batch=None,
+              n_devices=None):
     """Cached session construction (reference init_nets, models/__init__.py:
-    158-219; net grouping / GPU placement is obsolete — one program)."""
+    158-219; net grouping / GPU placement is obsolete — one program that is
+    batch-sharded over all visible chips)."""
     return InferenceSession(model_dir, phase=phase, epoch=epoch,
-                            max_batch=max_batch)
+                            max_batch=max_batch, n_devices=n_devices)
 
 
 def find_marker_key(d):

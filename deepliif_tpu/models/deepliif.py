@@ -63,6 +63,9 @@ class DeepLIIFDef:
     init_gain: float = 0.02
     replicate_seg_weight_quirk: bool = False
     dtype: Any = None                 # compute dtype for inference (None=f32)
+    allow_fused: bool = True          # permit the Pallas fused-resblock path
+                                      # (disabled under multi-device sharding:
+                                      # pallas_call has no SPMD partition rules)
     remat: bool = True                # rematerialize per-net activations in
                                       # training (512^2 flagship bwd does not
                                       # fit 16GB HBM without it)
@@ -194,7 +197,8 @@ def _translators_fused(x, d: DeepLIIFDef):
     cannot lower a vmapped ANY-space pallas_call, and XLA serializes the
     vmapped members anyway."""
     from ..nets import resnet
-    return (d.net_g[0].startswith('resnet_')
+    return (d.allow_fused
+            and d.net_g[0].startswith('resnet_')
             and resnet.fused_applicable(x.shape[1], x.shape[2], d.ngf,
                                         d.norm, d.padding_type))
 
@@ -296,7 +300,7 @@ def fused_forward(params, x, d: DeepLIIFDef, seg_weights=None):
     stage consumes concat(x, translator output) with ZERO data movement.
     Numerically identical to generator_forward (parity-tested).
     Requires uniform resnet translators + uniform unet seg generators."""
-    from ..nets import grouped
+    from ..labs import grouped
 
     m = d.modalities_no
     if not (d.uniform_g and d.net_g[0].startswith('resnet_')
