@@ -163,7 +163,7 @@ def conv_transpose2d_s2d(x, p, block=4):
     1-padded input, then depth-to-space. 4x the MACs, 16x the lane fill.
 
     Derivation (per axis, from the dilated form in conv_transpose2d /
-    _conv_transpose2d_phases): out[2m] = w0 x[m-1] + w2 x[m];
+    labs.phases): out[2m] = w0 x[m-1] + w2 x[m];
     out[2m+1] = w1 x[m] + w3 x[m+1]. For the output block starting at 4I the
     input window starts at 2I-1 (4 taps)."""
     w = p['w'].astype(x.dtype)
@@ -219,7 +219,7 @@ def conv_transpose2d(x, p, stride=2, padding=1, output_padding=1):
     form) is numerically exact but 19% SLOWER end-to-end — the phase
     interleave is a full-tensor HBM shuffle, and XLA:TPU already lowers
     lhs_dilation convs efficiently on the MXU. Kept available as
-    _conv_transpose2d_phases for reference; the dilated form is the default.
+    labs.phases.conv_transpose2d_phases; the dilated form is the default.
     """
     k = p['w'].shape[0]
     w = p['w'].astype(x.dtype)
@@ -231,44 +231,6 @@ def conv_transpose2d(x, p, stride=2, padding=1, output_padding=1):
     if 'b' in p:
         out = out + p['b'].astype(x.dtype)
     return out
-
-
-def _conv_transpose2d_phases(x, w, k):
-    """Sub-pixel decomposition of stride-2 transposed conv (see
-    conv_transpose2d). Derivation from the dilated form with left pad
-    L = k-1-padding: out[o] = sum_t P[o+t]*w[t] where P[L + 2i] = x[i]:
-
-      k=3 (L=1): out[2m]   = w[1] x[m]
-                 out[2m+1] = w[0] x[m] + w[2] x[m+1]
-      k=4 (L=2): out[2m]   = w[0] x[m-1] + w[2] x[m]
-                 out[2m+1] = w[1] x[m]   + w[3] x[m+1]
-
-    Each 2D phase (ry, rx) is a dense conv of the per-axis taps; phases are
-    interleaved back with a pixel-shuffle reshape.
-    """
-    n, h, wd, _ = x.shape
-    if k == 3:
-        # per-axis: phase 0 -> taps [w1] pad (0,0); phase 1 -> [w0, w2] pad (0,1)
-        taps = {0: ([1], (0, 0)), 1: ([0, 2], (0, 1))}
-    else:
-        # k=4: phase 0 -> [w0, w2] pad (1,0); phase 1 -> [w1, w3] pad (0, 1)
-        taps = {0: ([0, 2], (1, 0)), 1: ([1, 3], (0, 1))}
-
-    phases = []
-    for ry in (0, 1):
-        row = []
-        for rx in (0, 1):
-            ti, py = taps[ry]
-            tj, px = taps[rx]
-            sub = w[jnp.asarray(ti)][:, jnp.asarray(tj)]
-            ph = jax.lax.conv_general_dilated(
-                x, sub, (1, 1), [py, px], dimension_numbers=_DN)
-            row.append(ph)
-        phases.append(row)
-    # interleave: out[2my+ry, 2mx+rx] = phases[ry][rx][my, mx]
-    stacked = jnp.stack([jnp.stack(r, axis=3) for r in phases], axis=2)
-    # (N, H, 2, W, 2, C) -> (N, 2H, 2W, C)
-    return stacked.reshape(n, h * 2, wd * 2, stacked.shape[-1])
 
 
 # ---------------------------------------------------------------------------

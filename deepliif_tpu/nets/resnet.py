@@ -95,7 +95,7 @@ def _apply_fused(p, x, n_blocks, norm, padding_type, pad_head):
     the fly and emits the stats for the next one — norm passes never touch
     HBM separately (ops.fused_stages + ops.fused_resblock)."""
     from ..ops import fused_resblock as FR
-    from ..ops import fused_stages as FS
+    from ..labs import fused_stages as FS
 
     interpret = jax.default_backend() != 'tpu'
     h0, w0 = x.shape[1], x.shape[2]

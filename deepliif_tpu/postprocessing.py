@@ -331,42 +331,39 @@ def get_cell_boundary(mask, x, y, _use_native=True):
 
 
 def make_simple_contour(points):
-    """Drop redundant collinear points (ref :584-634)."""
-    simple = [(points[0][0], points[0][1])]
-    if len(points) == 1:
-        return simple
-
-    def same_dir(a, b):
-        return a == b or (a > 0 and b > 0) or (a < 0 and b < 0)
-
-    for i in range(1, len(points) - 1):
-        dx0, dy0 = points[i][0] - points[i - 1][0], points[i][1] - points[i - 1][1]
-        dx1, dy1 = points[i + 1][0] - points[i][0], points[i + 1][1] - points[i][1]
-        if not same_dir(dx0, dx1) or not same_dir(dy0, dy1):
-            simple.append((points[i][0], points[i][1]))
-    dx0, dy0 = points[-1][0] - points[-2][0], points[-1][1] - points[-2][1]
-    dx1, dy1 = points[0][0] - points[-1][0], points[0][1] - points[-1][1]
-    if not same_dir(dx0, dx1) or not same_dir(dy0, dy1):
-        simple.append((points[-1][0], points[-1][1]))
-    return simple
+    """Collinearity pruning, vectorized: a closed chain contour keeps only
+    the vertices where the step *direction* (sign of the delta, per axis)
+    changes between the incoming and outgoing edge. The first vertex is
+    always kept. Output matches the reference simplifier (ref :584-634) on
+    any closed chain, including the wrap-around check at the last vertex.
+    """
+    pts = np.asarray(points, np.int64)
+    if len(pts) < 2:
+        return [(int(p[0]), int(p[1])) for p in pts]
+    ring = np.concatenate([pts, pts[:1]], axis=0)
+    out_dir = np.sign(np.diff(ring, axis=0))        # edge leaving vertex i
+    in_dir = np.roll(out_dir, 1, axis=0)            # edge arriving at vertex i
+    keep = (out_dir != in_dir).any(axis=1)
+    keep[0] = True
+    return [(int(x), int(y)) for x, y in pts[keep]]
 
 
 def make_full_contour(points):
-    """Expand a simplified contour to pixel steps (ref :637-682)."""
-    full = [(points[0][0], points[0][1])]
-    for i in range(1, len(points)):
-        dx = points[i][0] - full[-1][0]
-        dy = points[i][1] - full[-1][1]
-        dx = 1 if dx > 0 else (-1 if dx < 0 else 0)
-        dy = 1 if dy > 0 else (-1 if dy < 0 else 0)
-        while full[-1][0] != points[i][0] or full[-1][1] != points[i][1]:
-            full.append((full[-1][0] + dx, full[-1][1] + dy))
-    dx = full[0][0] - full[-1][0]
-    dy = full[0][1] - full[-1][1]
-    dx = 1 if dx > 0 else (-1 if dx < 0 else 0)
-    dy = 1 if dy > 0 else (-1 if dy < 0 else 0)
-    while full[-1][0] + dx != full[0][0] or full[-1][1] + dy != full[0][1]:
-        full.append((full[-1][0] + dx, full[-1][1] + dy))
+    """Inverse of make_simple_contour: densify each straight or perfectly
+    diagonal segment of a simplified closed contour back into unit chain
+    steps. The closing run stops one pixel short of the start vertex so the
+    contour has no duplicate point (ref :637-682 semantics)."""
+    pts = [(int(p[0]), int(p[1])) for p in points]
+    full = [pts[0]]
+    ring = pts + pts[:1]
+    for i in range(1, len(ring)):
+        (x0, y0), (x1, y1) = full[-1], ring[i]
+        sx = (x1 > x0) - (x1 < x0)
+        sy = (y1 > y0) - (y1 < y0)
+        n = max(abs(x1 - x0), abs(y1 - y0))
+        if i == len(ring) - 1:
+            n -= 1  # closing run: stop one pixel before the start vertex
+        full.extend((x0 + sx * k, y0 + sy * k) for k in range(1, n + 1))
     return full
 
 

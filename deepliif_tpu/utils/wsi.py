@@ -216,35 +216,52 @@ def infer_cells_for_wsi(input_dir, filename, output_dir, model_dir, tile_size,
     size_threshes, marker_threshes = [], []
     resolution = '40x' if tile_size > 384 else ('20x' if tile_size > 192 else '10x')
 
-    for ry in range(0, size_y, region_size):
-        for rx in range(0, size_x, region_size):
-            rw = min(region_size, size_x - rx)
-            rh = min(region_size, size_y - ry)
-            img = Image.fromarray(reader.read_region(rx, ry, rw, rh))
-            images, _ = infer_modalities(img, tile_size, model_dir,
-                                         opt=session.opt, seg_only=True)
-            marker_key = find_marker_key(images)
-            # v3/4 use the inferred marker; v5/6 use optical density of the
-            # ORIGINAL region (reference models/__init__.py:785-947).
-            # Encode after coordinate offsetting, so run the dict version.
-            if version in (5, 6):
-                data = pp.compute_cell_results(images['Seg'], img, resolution,
-                                               version=5)
-            else:
-                data = pp.compute_cell_results(
-                    images['Seg'], images.get(marker_key), resolution,
-                    version=3)
-            size_threshes.append(data['settings']['default_size_thresh'])
-            if data['settings'].get('default_marker_thresh') is not None:
-                marker_threshes.append(data['settings']['default_marker_thresh'])
-            for c in data['cells']:
-                c['bbox'] = [(c['bbox'][0][0] + rx, c['bbox'][0][1] + ry),
-                             (c['bbox'][1][0] + rx, c['bbox'][1][1] + ry)]
-                c['centroid'] = (c['centroid'][0] + rx, c['centroid'][1] + ry)
-                c['boundary'] = [(x + rx, y + ry) for x, y in c['boundary']]
-                if version in (4, 6):
-                    c = pp.encode_cell_data_v4(c, v6=(version == 6))
-                all_cells.append(c)
+    # same double-buffered region pipeline as infer_results_for_wsi: the next
+    # region loads on a worker thread while this one runs inference+encoding
+    import queue
+    import threading
+    coords = [(rx, ry, min(region_size, size_x - rx), min(region_size, size_y - ry))
+              for ry in range(0, size_y, region_size)
+              for rx in range(0, size_x, region_size)]
+    q = queue.Queue(maxsize=2)
+
+    def _producer():
+        for c in coords:
+            q.put((c, reader.read_region(*c)))
+        q.put(None)
+
+    threading.Thread(target=_producer, daemon=True).start()
+
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        (rx, ry, rw, rh), region = item
+        img = Image.fromarray(region)
+        images, _ = infer_modalities(img, tile_size, model_dir,
+                                     opt=session.opt, seg_only=True)
+        marker_key = find_marker_key(images)
+        # v3/4 use the inferred marker; v5/6 use optical density of the
+        # ORIGINAL region (reference models/__init__.py:785-947).
+        # Encode after coordinate offsetting, so run the dict version.
+        if version in (5, 6):
+            data = pp.compute_cell_results(images['Seg'], img, resolution,
+                                           version=5)
+        else:
+            data = pp.compute_cell_results(
+                images['Seg'], images.get(marker_key), resolution,
+                version=3)
+        size_threshes.append(data['settings']['default_size_thresh'])
+        if data['settings'].get('default_marker_thresh') is not None:
+            marker_threshes.append(data['settings']['default_marker_thresh'])
+        for c in data['cells']:
+            c['bbox'] = [(c['bbox'][0][0] + rx, c['bbox'][0][1] + ry),
+                         (c['bbox'][1][0] + rx, c['bbox'][1][1] + ry)]
+            c['centroid'] = (c['centroid'][0] + rx, c['centroid'][1] + ry)
+            c['boundary'] = [(x + rx, y + ry) for x, y in c['boundary']]
+            if version in (4, 6):
+                c = pp.encode_cell_data_v4(c, v6=(version == 6))
+            all_cells.append(c)
 
     reader.close()
     results = {

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from deepliif_tpu.nets import layers as L
-from deepliif_tpu.ops import fused_stages as FS
+from deepliif_tpu.labs import fused_stages as FS
 
 B = 32
 DT = jnp.bfloat16

@@ -16,7 +16,7 @@ import pytest
 
 from deepliif_tpu.nets import layers as L
 from deepliif_tpu.nets import resnet
-from deepliif_tpu.ops import fused_stages as FS
+from deepliif_tpu.labs import fused_stages as FS
 
 
 def _affine_relu_ref(x, sc, bi):
