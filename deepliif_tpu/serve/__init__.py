@@ -81,18 +81,57 @@ def _parse_thresholds(q):
     return prob_thresh, size_thresh, size_up, marker_thresh
 
 
-def make_handler(model_dir, max_batch=None):
+def make_handler(model_dir, max_batch=None, batch_workers=4,
+                 max_retained_tasks=512):
+    from collections import OrderedDict
+    from concurrent.futures import ThreadPoolExecutor
+
     from PIL import Image
 
     from .. import postprocessing as pp
     from ..models import init_nets, find_marker_key
+    from .dispatch import DispatchSession
 
-    session_lock = threading.Lock()
+    # One model, one jitted program — but requests run CONCURRENTLY: decode,
+    # tiling, postprocess and PNG encode all happen on the HTTP threads in
+    # parallel, and concurrent tile batches are coalesced into shared device
+    # calls by DispatchSession (replaces round-2's global session_lock; the
+    # reference gets concurrency from TorchServe worker processes,
+    # model-server/config.properties).
+    init_lock = threading.Lock()
+    dispatch = {}
+
+    def get_session():
+        if 'ds' not in dispatch:
+            with init_lock:
+                if 'ds' not in dispatch:
+                    dispatch['ds'] = DispatchSession(
+                        init_nets(model_dir, max_batch=max_batch))
+        return dispatch['ds']
+
     # async batch tasks for the ImageJ plugin contract:
     # POST /api/batch/infer -> {'task_id'}; GET /api/batch/infer/<id> ->
     # {'state': PENDING|SUCCESS|FAILURE, 'result': ...}
-    tasks = {}
+    # Bounded: a fixed worker pool (no thread-per-request) and an LRU of
+    # retained results — completed tasks are evicted oldest-first beyond
+    # max_retained_tasks, so sustained use cannot leak memory.
+    tasks = OrderedDict()
     tasks_lock = threading.Lock()
+    pool = ThreadPoolExecutor(max_workers=batch_workers,
+                              thread_name_prefix='batch-infer')
+
+    def _store_task(task_id, payload):
+        with tasks_lock:
+            tasks[task_id] = payload
+            tasks.move_to_end(task_id)
+            while len(tasks) > max_retained_tasks:
+                # evict the oldest COMPLETED task; stop if only pending left
+                for k, v in tasks.items():
+                    if v['state'] != 'PENDING':
+                        del tasks[k]
+                        break
+                else:
+                    break
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
@@ -109,7 +148,10 @@ def make_handler(model_dir, max_batch=None):
         def do_GET(self):
             path = urlparse(self.path).path
             if path in ('/healthz', '/'):
-                self._json(200, {'status': 'ok', 'model_dir': model_dir})
+                payload = {'status': 'ok', 'model_dir': model_dir}
+                if 'ds' in dispatch:
+                    payload['dispatch'] = dict(dispatch['ds'].stats)
+                self._json(200, payload)
                 return
             m = re.match(r'^/api/batch/infer/([\w-]+)$', path)
             if m:
@@ -153,13 +195,12 @@ def make_handler(model_dir, max_batch=None):
             prob_thresh, size_thresh, size_up, marker_thresh = _parse_thresholds(q)
 
             from ..models import inference
-            with session_lock:
-                session = init_nets(model_dir, max_batch=max_batch)
-                images = inference(img, tile_size=tile_size,
-                                   overlap_size=tile_size // 16,
-                                   model_path=model_dir, opt=session.opt,
-                                   session=session,
-                                   mod_only=not getattr(session.opt, 'seg_gen', True))
+            session = get_session()
+            images = inference(img, tile_size=tile_size,
+                               overlap_size=tile_size // 16,
+                               model_path=model_dir, opt=session.opt,
+                               session=session,
+                               mod_only=not getattr(session.opt, 'seg_gen', True))
             scoring = None
             if not nopost and 'Seg' in images:
                 marker = images.get(find_marker_key(images))
@@ -189,22 +230,19 @@ def make_handler(model_dir, max_batch=None):
                 self._json(400, {'error': "missing file parameter 'img'"})
                 return
             task_id = uuid.uuid4().hex
-            with tasks_lock:
-                tasks[task_id] = {'state': 'PENDING', 'result': None}
+            _store_task(task_id, {'state': 'PENDING', 'result': None})
 
             payload_fn = self._infer_payload
 
             def work():
                 try:
                     result = payload_fn(fields, q)
-                    with tasks_lock:
-                        tasks[task_id] = {'state': 'SUCCESS', 'result': result}
+                    _store_task(task_id, {'state': 'SUCCESS', 'result': result})
                 except Exception as e:  # noqa: BLE001
-                    with tasks_lock:
-                        tasks[task_id] = {'state': 'FAILURE',
-                                          'result': {'error': str(e)}}
+                    _store_task(task_id, {'state': 'FAILURE',
+                                          'result': {'error': str(e)}})
 
-            threading.Thread(target=work, daemon=True).start()
+            pool.submit(work)
             self._json(200, {'task_id': task_id})
 
         def _postprocess(self, fields, q):

@@ -1,0 +1,147 @@
+"""Micro-batching device dispatcher for concurrent serving.
+
+The reference deploys TorchServe with parallel workers
+(/root/reference/model-server/config.properties, deepliif_workflow.yaml:7);
+its DAG stages each batch independently. Here there is ONE jitted ensemble
+program per process, so serving concurrency means: let many HTTP threads be
+in flight at once (decode, tile, postprocess, encode are all parallel) and
+coalesce their tile batches into shared device calls.
+
+``DispatchSession`` wraps an InferenceSession: ``run_tiles`` enqueues the
+caller's tiles and blocks on a per-request future; a single dispatcher
+thread drains whatever is queued when the device frees up (bounded latency:
+no artificial batching delay) into one ``InferenceSession.run_tiles`` call,
+then splits the outputs back per request. Requests with incompatible
+configurations (different seg_weights/flags/tile shape) are grouped by
+config key; device-kept-output requests bypass coalescing.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+
+class _Work:
+    __slots__ = ('tiles', 'kwargs', 'event', 'result', 'error')
+
+    def __init__(self, tiles, kwargs):
+        self.tiles = tiles
+        self.kwargs = kwargs
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class DispatchSession:
+    """InferenceSession facade whose run_tiles coalesces concurrent callers.
+
+    Drop-in for the ``session=`` argument of models.inference(): exposes
+    opt/d/family/model_dir and run_tiles. Thread-safe; one dispatcher thread
+    owns all device calls, so jit caches never race.
+    """
+
+    def __init__(self, session):
+        self._session = session
+        self._q = queue.Queue()
+        self.stats = {'device_calls': 0, 'coalesced_calls': 0,
+                      'max_requests_per_call': 1}
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ---- facade attributes used by models.inference()
+    @property
+    def opt(self):
+        return self._session.opt
+
+    @property
+    def d(self):
+        return self._session.d
+
+    @property
+    def family(self):
+        return self._session.family
+
+    @property
+    def model_dir(self):
+        return self._session.model_dir
+
+    @property
+    def max_batch(self):
+        return self._session.max_batch
+
+    def run_tiles(self, tiles_u8, seg_weights=None, seg_only=False,
+                  mod_only=False, return_intermediate=False, device_keys=()):
+        if device_keys or return_intermediate:
+            # device-kept outputs / intermediates: per-request device call
+            # (outputs cannot be split cheaply after a device-side stitch)
+            return self._session.run_tiles(
+                tiles_u8, seg_weights=seg_weights, seg_only=seg_only,
+                mod_only=mod_only, return_intermediate=return_intermediate,
+                device_keys=device_keys)
+        kwargs = {
+            'seg_weights': tuple(seg_weights) if seg_weights is not None else None,
+            'seg_only': bool(seg_only),
+            'mod_only': bool(mod_only),
+        }
+        w = _Work(tiles_u8, kwargs)
+        self._q.put(w)
+        w.event.wait()
+        if w.error is not None:
+            raise w.error
+        return w.result
+
+    def _loop(self):
+        import numpy as np
+        while True:
+            first = self._q.get()
+            if first is None:
+                return
+            group = [first]
+            # drain everything already queued that can share this device
+            # call: same flags and same tile shape
+            leftover = []
+            while True:
+                try:
+                    nxt = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    leftover.append(None)
+                    break
+                same = (nxt.kwargs == first.kwargs
+                        and nxt.tiles.shape[1:] == first.tiles.shape[1:])
+                total = sum(len(g.tiles) for g in group)
+                if same and total + len(nxt.tiles) <= self._session.max_batch:
+                    group.append(nxt)
+                else:
+                    leftover.append(nxt)
+            for item in leftover:
+                self._q.put(item)
+
+            try:
+                tiles = (first.tiles if len(group) == 1 else
+                         np.concatenate([g.tiles for g in group]))
+                sw = first.kwargs['seg_weights']
+                out = self._session.run_tiles(
+                    tiles, seg_weights=list(sw) if sw is not None else None,
+                    seg_only=first.kwargs['seg_only'],
+                    mod_only=first.kwargs['mod_only'])
+                self.stats['device_calls'] += 1
+                if len(group) > 1:
+                    self.stats['coalesced_calls'] += 1
+                    self.stats['max_requests_per_call'] = max(
+                        self.stats['max_requests_per_call'], len(group))
+                pos = 0
+                for g in group:
+                    n = len(g.tiles)
+                    g.result = {k: v[pos:pos + n] for k, v in out.items()}
+                    pos += n
+                    g.event.set()
+            except Exception as e:  # noqa: BLE001 — propagate to callers
+                for g in group:
+                    g.error = e
+                    g.event.set()
+
+    def close(self):
+        self._q.put(None)

@@ -30,7 +30,7 @@ TINY_CFG = {
 
 
 @pytest.fixture(scope='module')
-def server(tmp_path_factory):
+def model_dir(tmp_path_factory):
     md = tmp_path_factory.mktemp('serve_model')
     d = dl.DeepLIIFDef(modalities_no=2, net_g=('resnet_6blocks',) * 2,
                        net_gs=('unet_32',) * 3, ngf=8, ndf=8,
@@ -39,7 +39,12 @@ def server(tmp_path_factory):
     checkpoints.save_networks(str(md), params)
     with open(md / 'config.json', 'w') as f:
         json.dump(TINY_CFG, f)
-    srv = ThreadingHTTPServer(('127.0.0.1', 0), make_handler(str(md)))
+    return str(md)
+
+
+@pytest.fixture(scope='module')
+def server(model_dir):
+    srv = ThreadingHTTPServer(('127.0.0.1', 0), make_handler(model_dir))
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield f'http://127.0.0.1:{srv.server_address[1]}'
@@ -161,3 +166,146 @@ def test_batch_infer_unknown_task_404(server):
         raise AssertionError('expected 404')
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+# ---------------------------------------------------------------------------
+# concurrency (round-3: replaces the round-2 global session_lock; reference
+# gets this from TorchServe parallel workers, model-server/config.properties)
+# ---------------------------------------------------------------------------
+
+class _FakeSession:
+    """Deterministic stand-in for InferenceSession: output == input tiles,
+    with a sleep long enough that concurrent callers pile up in the queue."""
+
+    def __init__(self, max_batch=64, delay=0.15):
+        self.opt = None
+        self.d = None
+        self.family = 'deepliif'
+        self.model_dir = 'fake'
+        self.max_batch = max_batch
+        self.delay = delay
+        self.batch_sizes = []
+
+    def run_tiles(self, tiles, seg_weights=None, seg_only=False,
+                  mod_only=False, return_intermediate=False, device_keys=()):
+        import time
+        self.batch_sizes.append(len(tiles))
+        time.sleep(self.delay)
+        return {'G1': tiles.copy()}
+
+
+def test_dispatch_session_coalesces_concurrent_requests():
+    """While one device call runs, queued requests must be coalesced into
+    ONE shared call, and every caller must get exactly its own tiles back."""
+    from deepliif_tpu.serve.dispatch import DispatchSession
+    fake = _FakeSession()
+    ds = DispatchSession(fake)
+    n_clients, tiles_each = 6, 3
+    rng = np.random.default_rng(0)
+    inputs = [rng.integers(0, 255, (tiles_each, 8, 8, 3), np.uint8)
+              for _ in range(n_clients)]
+    results = [None] * n_clients
+
+    def client(i):
+        results[i] = ds.run_tiles(inputs[i])
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    for i in range(n_clients):
+        np.testing.assert_array_equal(results[i]['G1'], inputs[i])
+    # 6 requests in << 6 device calls: at least one call served >1 request
+    assert ds.stats['coalesced_calls'] >= 1, (ds.stats, fake.batch_sizes)
+    assert ds.stats['max_requests_per_call'] > 1
+    assert sum(fake.batch_sizes) == n_clients * tiles_each
+    assert len(fake.batch_sizes) < n_clients
+    ds.close()
+
+
+def test_dispatch_session_respects_max_batch():
+    """Coalescing must never exceed the session's max_batch."""
+    from deepliif_tpu.serve.dispatch import DispatchSession
+    fake = _FakeSession(max_batch=4, delay=0.1)
+    ds = DispatchSession(fake)
+    rng = np.random.default_rng(1)
+    inputs = [rng.integers(0, 255, (3, 8, 8, 3), np.uint8) for _ in range(5)]
+    threads = [threading.Thread(target=lambda i=i: ds.run_tiles(inputs[i]))
+               for i in range(5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert all(b <= 4 for b in fake.batch_sizes), fake.batch_sizes
+    ds.close()
+
+
+def test_concurrent_http_infer(server):
+    """N concurrent /api/infer clients all succeed with identical-per-input
+    results, and the server reports dispatcher activity on /healthz."""
+    rng = np.random.default_rng(9)
+    imgs = [rng.integers(0, 255, (64, 64, 3), np.uint8) for _ in range(4)]
+    out = [None] * 4
+
+    def client(i):
+        out[i] = _post(server + '/api/infer?resolution=40x',
+                       {'img': _png_bytes(imgs[i])})
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    for status, data in out:
+        assert status == 200, data
+        assert 'SegRefined' in data['images']
+    # same image posted twice -> identical payload (batch-composition
+    # invariance through the dispatcher)
+    s1, d1 = _post(server + '/api/infer?resolution=40x',
+                   {'img': _png_bytes(imgs[0])})
+    assert s1 == 200
+    assert d1['images'] == out[0][1]['images']
+    with urllib.request.urlopen(server + '/healthz') as r:
+        health = json.loads(r.read())
+    assert health['dispatch']['device_calls'] >= 1
+
+
+def test_batch_task_eviction(model_dir):
+    """Completed batch tasks are evicted beyond max_retained_tasks — the
+    tasks dict cannot grow without bound under sustained use."""
+    import time
+    srv = ThreadingHTTPServer(
+        ('127.0.0.1', 0), make_handler(model_dir, max_retained_tasks=3))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f'http://127.0.0.1:{srv.server_address[1]}'
+    try:
+        rng = np.random.default_rng(3)
+        tids = []
+        for i in range(6):
+            img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+            status, data = _post(base + '/api/batch/infer?resolution=40x',
+                                 {'img': _png_bytes(img)})
+            assert status == 200
+            tids.append(data['task_id'])
+        # wait for all to complete (poll the most recent)
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            states = []
+            for tid in tids:
+                try:
+                    with urllib.request.urlopen(
+                            f'{base}/api/batch/infer/{tid}') as r:
+                        states.append(json.loads(r.read())['state'])
+                except urllib.error.HTTPError:
+                    states.append('EVICTED')
+            if 'PENDING' not in states:
+                break
+            time.sleep(0.5)
+        assert 'PENDING' not in states
+        # at least 6-3 of the oldest completed tasks are gone
+        assert states.count('EVICTED') >= 3, states
+    finally:
+        srv.shutdown()
