@@ -361,13 +361,18 @@ def import_model(torch_dir, output_dir, do_verify):
               help='tile-batch bucket cap (default: 128 bf16 / 16 f32 per '
                    'chip, scaled by the device count; 128 is the measured '
                    'v5e optimum)')
+@click.option('--precision', default=None,
+              type=click.Choice(['float32', 'bfloat16', 'int8']),
+              help='override the model dir compute precision; int8 runs '
+                   'interior convs on the int8 MXU path (fidelity table in '
+                   'docs/Performance.md)')
 @click.option('--device-quant', is_flag=True,
               help='run quantification (labeling/thresholds/overlays) as '
                    'one jitted XLA program instead of the host path')
 @click.option('--gpu-ids', default=None, help='ignored on TPU (torch compat)')
 def test(input_dir, output_dir, tile_size, model_dir, filename_pattern,
          eager_mode, epoch, seg_intermediate, seg_only, mod_only, color_dapi,
-         color_marker, btoa, max_batch, device_quant, gpu_ids):
+         color_marker, btoa, max_batch, precision, device_quant, gpu_ids):
     if gpu_ids is not None:
         click.echo('note: --gpu-ids is ignored on TPU')
     """Run tiled inference + quantification over a directory of images."""
@@ -402,7 +407,8 @@ def test(input_dir, output_dir, tile_size, model_dir, filename_pattern,
                 img, tile_size, model_dir, opt=opt,
                 return_seg_intermediate=seg_intermediate,
                 seg_only=seg_only, mod_only=mod_only, seg_weights=seg_weights,
-                max_batch=max_batch, device_quant=device_quant)
+                max_batch=max_batch, device_quant=device_quant,
+                precision=precision)
             stem = filename.rsplit('.', 1)[0]
             for name, im in images.items():
                 im.save(os.path.join(output_dir, f'{stem}_{name}.png'))
@@ -648,11 +654,14 @@ def compute_statistics(gt_dir, model_output_dir, model_name, image_size,
 @click.option('--max-batch', default=None, type=int,
               help='tile-batch bucket cap (default: 128 bf16 / 16 f32 per '
                    'chip, scaled by the device count)')
-def serve(model_dir, host, port, max_batch):
+@click.option('--precision', default=None,
+              type=click.Choice(['float32', 'bfloat16', 'int8']),
+              help='override the model dir compute precision')
+def serve(model_dir, host, port, max_batch, precision):
     """Run the REST API server (POST /api/infer, /api/postprocess) —
     the reference cloud contract, so the ImageJ plugin works unchanged."""
     from .serve import serve as run_server
-    run_server(model_dir, host, port, max_batch)
+    run_server(model_dir, host, port, max_batch, precision=precision)
 
 
 @cli.command()

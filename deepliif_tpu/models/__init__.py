@@ -70,9 +70,14 @@ class InferenceSession:
     """
 
     def __init__(self, model_dir, opt=None, phase='test', max_batch=None,
-                 epoch='latest', n_devices=None):
+                 epoch='latest', n_devices=None, precision=None):
         self.model_dir = model_dir
         self.opt = opt if opt is not None else get_opt(model_dir, mode=phase)
+        if precision is not None and precision != getattr(self.opt, 'precision',
+                                                          'float32'):
+            import copy
+            self.opt = copy.copy(self.opt)   # get_opt is lru_cached — don't
+            self.opt.precision = precision   # mutate the shared instance
         self.epoch = str(epoch)
         self.model = getattr(self.opt, 'model', 'DeepLIIF')
         if self.model in ('DeepLIIF', 'DeepLIIFKD'):
@@ -115,6 +120,11 @@ class InferenceSession:
             max_batch = (128 if self.d.dtype is not None else 16) * self.n_devices
         self.max_batch = max_batch
         self.params = self._load_params(model_dir)
+        if getattr(self.d, 'quant_int8', False):
+            # pre-quantize interior conv kernels once (per-output-channel
+            # int8 + scale); conv2d/conv_transpose2d auto-detect 'w_q'
+            from ..nets import layers as _L
+            self.params = _L.quantize_conv_tree_int8(self.params)
         if self.mesh is not None:
             self.params = parallel.replicate(self.mesh, self.params)
         self._jitted = {}
@@ -387,12 +397,14 @@ def _quantize_u8(y):
 
 @functools.lru_cache(maxsize=8)
 def init_nets(model_dir, phase='test', epoch='latest', max_batch=None,
-              n_devices=None):
+              n_devices=None, precision=None):
     """Cached session construction (reference init_nets, models/__init__.py:
     158-219; net grouping / GPU placement is obsolete — one program that is
-    batch-sharded over all visible chips)."""
+    batch-sharded over all visible chips). ``precision`` overrides the model
+    dir's configured compute precision (float32 | bfloat16 | int8)."""
     return InferenceSession(model_dir, phase=phase, epoch=epoch,
-                            max_batch=max_batch, n_devices=n_devices)
+                            max_batch=max_batch, n_devices=n_devices,
+                            precision=precision)
 
 
 def find_marker_key(d):
@@ -413,7 +425,7 @@ def inference(img, tile_size, overlap_size, model_path, use_torchserve=False,
               eager_mode=False, color_dapi=False, color_marker=False, opt=None,
               return_seg_intermediate=False, seg_only=False, mod_only=False,
               seg_weights=None, opt_args=None, session=None, max_batch=None,
-              _device_seg=False):
+              _device_seg=False, precision=None):
     """Tiled ensemble inference on a PIL image; returns {name: PIL.Image}.
 
     Output key naming matches the reference inference()
@@ -425,7 +437,7 @@ def inference(img, tile_size, overlap_size, model_path, use_torchserve=False,
         session = init_nets(model_path,
                             epoch=str(getattr(opt, 'epoch', 'latest') if opt
                                       is not None else 'latest'),
-                            max_batch=max_batch)
+                            max_batch=max_batch, precision=precision)
     opt = session.opt if opt is None else opt
     if opt_args:
         for k, v in opt_args.items():
@@ -609,12 +621,12 @@ def infer_modalities(img, tile_size, model_dir, eager_mode=False,
                      color_dapi=False, color_marker=False, opt=None,
                      return_seg_intermediate=False, seg_only=False,
                      mod_only=False, seg_weights=None, max_batch=None,
-                     device_quant=False):
+                     device_quant=False, precision=None):
     """Full tile-to-scoring pipeline (reference models/__init__.py:613-660)."""
     session = init_nets(model_dir,
                         epoch=str(getattr(opt, 'epoch', 'latest') if opt
                                   is not None else 'latest'),
-                        max_batch=max_batch)
+                        max_batch=max_batch, precision=precision)
     opt = session.opt if opt is None else opt
 
     images = inference(

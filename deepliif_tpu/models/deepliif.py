@@ -66,6 +66,9 @@ class DeepLIIFDef:
     allow_fused: bool = True          # permit the Pallas fused-resblock path
                                       # (disabled under multi-device sharding:
                                       # pallas_call has no SPMD partition rules)
+    quant_int8: bool = False          # int8 weights+activations on interior
+                                      # convs (f32 accumulation); inference
+                                      # only, --precision int8
     remat: bool = True                # rematerialize per-net activations in
                                       # training (512^2 flagship bwd does not
                                       # fit 16GB HBM without it)
@@ -87,8 +90,11 @@ def def_from_opt(opt) -> DeepLIIFDef:
     net_gs = getattr(opt, 'net_gs', 'unet_512')
     if isinstance(net_gs, str):
         net_gs = (net_gs,) * (m + 1)
-    dtype = {'float32': None, 'bfloat16': jnp.bfloat16}.get(
-        getattr(opt, 'precision', 'float32'), None)
+    precision = getattr(opt, 'precision', 'float32')
+    # int8 runs the surrounding ops (norms, act, stitch) in bf16 and the
+    # interior convs on the int8 MXU path (layers.quantize_conv_tree_int8)
+    dtype = {'float32': None, 'bfloat16': jnp.bfloat16,
+             'int8': jnp.bfloat16}.get(precision, None)
     return DeepLIIFDef(
         modalities_no=m,
         seg_gen=getattr(opt, 'seg_gen', True),
@@ -115,6 +121,7 @@ def def_from_opt(opt) -> DeepLIIFDef:
         init_type=getattr(opt, 'init_type', 'normal'),
         init_gain=getattr(opt, 'init_gain', 0.02),
         dtype=dtype,
+        quant_int8=(precision == 'int8'),
     )
 
 
@@ -197,7 +204,7 @@ def _translators_fused(x, d: DeepLIIFDef):
     cannot lower a vmapped ANY-space pallas_call, and XLA serializes the
     vmapped members anyway."""
     from ..nets import resnet
-    return (d.allow_fused
+    return (d.allow_fused and not d.quant_int8
             and d.net_g[0].startswith('resnet_')
             and resnet.fused_applicable(x.shape[1], x.shape[2], d.ngf,
                                         d.norm, d.padding_type))

@@ -79,14 +79,94 @@ def init_norm(key, c, init_type='normal', init_gain=0.02):
 # ---------------------------------------------------------------------------
 
 def conv2d(x, p, stride=1, padding=0):
-    """2D conv; ``padding`` int means symmetric zero pad (torch semantics)."""
+    """2D conv; ``padding`` int means symmetric zero pad (torch semantics).
+
+    When the param dict carries an int8-quantized kernel ('w_q' + per-output
+    -channel scale 'w_s', see quantize_conv_tree_int8), the conv runs on the
+    int8 MXU path: activations are dynamically quantized per sample, the
+    int8 x int8 -> int32 conv accumulates exactly, and the output is
+    rescaled in f32. Per-SAMPLE activation scales keep outputs independent
+    of batch composition (the engine's batch-size-invariance contract)."""
     pad = [(padding, padding)] * 2 if isinstance(padding, int) else padding
+    if 'w_q' in p and _int8_spatial_ok(x):
+        q, s = _quant_act_int8(x)
+        y = jax.lax.conv_general_dilated(
+            q, p['w_q'], (stride, stride), pad, dimension_numbers=_DN,
+            preferred_element_type=jnp.int32)
+        out = (y.astype(jnp.float32) * (s * p['w_s'])).astype(x.dtype)
+        if 'b' in p:
+            out = out + p['b'].astype(x.dtype)
+        return out
     w = p['w'].astype(x.dtype)
     out = jax.lax.conv_general_dilated(
         x, w, (stride, stride), pad, dimension_numbers=_DN)
     if 'b' in p:
         out = out + p['b'].astype(x.dtype)
     return out
+
+
+# The per-sample max-abs reduction in _quant_act_int8 forces the quantized
+# conv's input to fully materialize (two passes: scale, then quantize) —
+# at 512^2 grouped-ensemble resolution that is an 8-16 GB HBM temp which
+# XLA otherwise avoids by streaming the fused producer. Interior levels
+# (<= 256^2) hold ~90% of the ensemble FLOPs with temps <= ~2 GB, so int8
+# only engages there; outer levels stay on the float path.
+_INT8_MAX_SPATIAL = 256 * 256
+
+
+def _int8_spatial_ok(x):
+    return x.ndim == 4 and x.shape[1] * x.shape[2] <= _INT8_MAX_SPATIAL
+
+
+def _quant_act_int8(x):
+    """Symmetric per-sample dynamic int8 quantization of activations.
+    Returns (q int8, scale f32 broadcastable over the sample).
+
+    The divide/round runs in x's own dtype (bf16 represents all ints < 256
+    exactly, so the rounded lattice is exact; only the pre-round ratio
+    carries bf16 precision, bounded by half a quantization step) — an f32
+    upcast here materializes a full-activation f32 temp that pushed the
+    batch-128 flagship compile out of HBM."""
+    ax = tuple(range(1, x.ndim))
+    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=ax, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(x / s.astype(x.dtype)), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def quantize_conv_int8(p):
+    """Per-output-channel symmetric int8 quantization of one conv param
+    dict; keeps the f32 'w' (fallback paths like the s2d tails use it)."""
+    w = p['w']
+    red = tuple(range(w.ndim - 4, w.ndim - 1))  # (kh,kw,ci); keeps a leading
+    s = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=red)  # net-stack axis
+    s = jnp.maximum(s / 127.0, 1e-12)
+    sb = jnp.expand_dims(s, red)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / sb), -127, 127).astype(jnp.int8)
+    out = dict(p)
+    out['w_q'] = q
+    out['w_s'] = s
+    return out
+
+
+def quantize_conv_tree_int8(params, min_ch=16):
+    """Walk a param pytree and int8-quantize every conv whose in/out channel
+    counts are both >= min_ch (head convs fed by 3-channel images and
+    3-channel tail convs stay in the float path: negligible compute, highest
+    fidelity sensitivity). Works on stacked (vmapped-ensemble) kernels —
+    scales are per (net, out_channel)."""
+    def walk(node):
+        if isinstance(node, dict):
+            if 'w' in node and hasattr(node['w'], 'ndim') and node['w'].ndim in (4, 5):
+                cin, cout = node['w'].shape[-2], node['w'].shape[-1]
+                if cin >= min_ch and cout >= min_ch:
+                    return quantize_conv_int8(node)
+                return node
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+    return walk(params)
 
 
 def conv2d_s2d(x_padded, p, k=7, block=8):
@@ -222,9 +302,19 @@ def conv_transpose2d(x, p, stride=2, padding=1, output_padding=1):
     labs.phases.conv_transpose2d_phases; the dilated form is the default.
     """
     k = p['w'].shape[0]
-    w = p['w'].astype(x.dtype)
     lo = k - 1 - padding
     hi = k - 1 - padding + output_padding
+    if 'w_q' in p and _int8_spatial_ok(x):
+        q, s = _quant_act_int8(x)
+        y = jax.lax.conv_general_dilated(
+            q, p['w_q'], (1, 1), [(lo, hi), (lo, hi)],
+            lhs_dilation=(stride, stride), dimension_numbers=_DN,
+            preferred_element_type=jnp.int32)
+        out = (y.astype(jnp.float32) * (s * p['w_s'])).astype(x.dtype)
+        if 'b' in p:
+            out = out + p['b'].astype(x.dtype)
+        return out
+    w = p['w'].astype(x.dtype)
     out = jax.lax.conv_general_dilated(
         x, w, (1, 1), [(lo, hi), (lo, hi)], lhs_dilation=(stride, stride),
         dimension_numbers=_DN)

@@ -82,7 +82,7 @@ def _parse_thresholds(q):
 
 
 def make_handler(model_dir, max_batch=None, batch_workers=4,
-                 max_retained_tasks=512):
+                 max_retained_tasks=512, precision=None):
     from collections import OrderedDict
     from concurrent.futures import ThreadPoolExecutor
 
@@ -106,7 +106,8 @@ def make_handler(model_dir, max_batch=None, batch_workers=4,
             with init_lock:
                 if 'ds' not in dispatch:
                     dispatch['ds'] = DispatchSession(
-                        init_nets(model_dir, max_batch=max_batch))
+                        init_nets(model_dir, max_batch=max_batch,
+                                  precision=precision))
         return dispatch['ds']
 
     # async batch tasks for the ImageJ plugin contract:
@@ -272,9 +273,11 @@ def make_handler(model_dir, max_batch=None, batch_workers=4,
     return Handler
 
 
-def serve(model_dir, host='0.0.0.0', port=8080, max_batch=None):
-    server = ThreadingHTTPServer((host, port),
-                                 make_handler(model_dir, max_batch=max_batch))
+def serve(model_dir, host='0.0.0.0', port=8080, max_batch=None,
+          precision=None):
+    server = ThreadingHTTPServer(
+        (host, port),
+        make_handler(model_dir, max_batch=max_batch, precision=precision))
     print(f'serving DeepLIIF-TPU model {model_dir} on {host}:{port}')
     server.serve_forever()
 

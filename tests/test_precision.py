@@ -1,0 +1,149 @@
+"""Reduced-precision inference fidelity gates (bf16 + int8).
+
+Round-2 VERDICT items 2 and 7: the headline benchmark runs bf16 and the new
+--precision int8 mode runs interior convs on the int8 MXU path, but until
+now only f32 paths were golden-tested. These tests pin both reduced-
+precision paths against the f32 path on a REAL reference input tile
+(Datasets/Sample_Dataset). The pretrained-weight golden-count equality gate
+lives in test_golden_parity.py (env-gated on weights).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from deepliif_tpu.models import InferenceSession
+from deepliif_tpu.models import deepliif as dl
+from deepliif_tpu.nets import layers as L
+from deepliif_tpu.utils import checkpoints
+
+REAL_TILE = ('/root/reference/Datasets/Sample_Dataset/test_DeepLIIF_results/'
+             '22_2_real_A.png')
+
+TINY_CFG = {
+    'model': 'DeepLIIF', 'modalities_no': 2, 'seg_gen': True, 'seg_no': 1,
+    'input_no': 1, 'netG': 'resnet_6blocks', 'net_gs': 'unet_64', 'ngf': 32,
+    'ndf': 32, 'norm': 'batch', 'no_dropout': False, 'padding': 'zero',
+    'upsample': 'convtranspose', 'scale_size': 64,
+    'seg_weights': [0.4, 0.3, 0.3],
+    'modalities_names': ['IHC', 'ModA', 'Marker'],
+}
+
+
+@pytest.fixture(scope='module')
+def model_dir(tmp_path_factory):
+    md = tmp_path_factory.mktemp('prec_model')
+    d = dl.DeepLIIFDef(
+        modalities_no=2, net_g=('resnet_6blocks',) * 2,
+        net_gs=('unet_64',) * 3, ngf=32, ndf=32, seg_weights=(0.4, 0.3, 0.3))
+    params = dl.init_params(jax.random.PRNGKey(3), d,
+                            with_discriminators=False)
+    checkpoints.save_networks(str(md), params)
+    with open(md / 'config.json', 'w') as f:
+        json.dump(TINY_CFG, f)
+    return str(md)
+
+
+def _real_tiles(n=2, size=64):
+    img = Image.open(REAL_TILE).convert('RGB')
+    w, h = img.size
+    tiles = []
+    for i in range(n):
+        x = (i * size * 2) % (w - size)
+        tiles.append(np.asarray(img.crop((x, 0, x + size, size))))
+    return np.stack(tiles)
+
+
+def _ssim(a, b):
+    from deepliif_tpu import stats
+    return stats.ssim(np.asarray(a), np.asarray(b), data_range=255)
+
+
+# ---------------------------------------------------------------------------
+# int8 mechanism
+# ---------------------------------------------------------------------------
+
+def test_quantize_tree_is_selective():
+    """Interior convs quantize; 3-channel head/tail convs stay float."""
+    d = dl.DeepLIIFDef(modalities_no=2, net_g=('resnet_6blocks',) * 2,
+                       net_gs=('unet_32',) * 3, ngf=32, ndf=32,
+                       seg_weights=(0.4, 0.3, 0.3))
+    params = dl.init_params(jax.random.PRNGKey(0), d,
+                            with_discriminators=False)
+    q = L.quantize_conv_tree_int8(params)
+    g = q['G']
+    assert 'w_q' not in g['head_conv']          # cin=3
+    assert 'w_q' not in g['tail_conv']          # cout=3
+    assert 'w_q' in g['down0_conv'] and 'w_q' in g['res0_conv1']
+    # stacked kernels: per (net, cout) scales
+    w = g['down0_conv']['w']
+    assert g['down0_conv']['w_q'].dtype == jnp.int8
+    assert g['down0_conv']['w_s'].shape == (w.shape[0], w.shape[-1])
+    # quantization is faithful: dequantized kernel close to original
+    deq = (g['down0_conv']['w_q'].astype(np.float32)
+           * np.asarray(g['down0_conv']['w_s'])[:, None, None, None, :])
+    assert float(np.abs(deq - np.asarray(w)).max()) <= \
+        float(np.asarray(g['down0_conv']['w_s']).max()) * 0.5 + 1e-7
+
+
+def test_conv2d_int8_close_to_f32():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 64)), jnp.float32)
+    p = {'w': jnp.asarray(rng.standard_normal((3, 3, 64, 64)) * 0.05,
+                          jnp.float32),
+         'b': jnp.asarray(rng.standard_normal(64) * 0.01, jnp.float32)}
+    ref = np.asarray(L.conv2d(x, p, 1, 1))
+    out = np.asarray(L.conv2d(x, L.quantize_conv_int8(p), 1, 1))
+    rel = np.abs(out - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.03, rel
+    # transposed conv path
+    pt = {'w': jnp.asarray(rng.standard_normal((3, 3, 64, 32)) * 0.05,
+                           jnp.float32)}
+    ref = np.asarray(L.conv_transpose2d(x, pt))
+    out = np.asarray(L.conv_transpose2d(x, L.quantize_conv_int8(pt)))
+    rel = np.abs(out - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.03, rel
+
+
+# ---------------------------------------------------------------------------
+# engine-level fidelity on a real tile
+# ---------------------------------------------------------------------------
+
+def test_int8_session_fidelity_vs_f32(model_dir):
+    tiles = _real_tiles()
+    f32 = InferenceSession(model_dir, n_devices=1).run_tiles(tiles)
+    s8 = InferenceSession(model_dir, n_devices=1, precision='int8')
+    assert s8.d.quant_int8 and s8.d.dtype == jnp.bfloat16
+    out8 = s8.run_tiles(tiles)
+    assert set(out8) == set(f32)
+    for k in f32:
+        s = min(_ssim(out8[k][i], f32[k][i]) for i in range(len(tiles)))
+        assert s > 0.95, (k, s)
+
+    # batch-size invariance holds under per-sample activation quantization
+    single = s8.run_tiles(tiles[:1])
+    for k in out8:
+        np.testing.assert_array_equal(out8[k][0], single[k][0])
+
+
+def test_bf16_session_fidelity_vs_f32(model_dir):
+    """The headline-benchmark numerics mode, pinned against f32 (VERDICT
+    round-2 item 7)."""
+    tiles = _real_tiles()
+    f32 = InferenceSession(model_dir, n_devices=1).run_tiles(tiles)
+    b16 = InferenceSession(model_dir, n_devices=1,
+                           precision='bfloat16').run_tiles(tiles)
+    # gates calibrated on the random-weight tiny ensemble (noisier than
+    # trained nets): measured ssim>=0.995, max<=21, mean<=2.1
+    for k in f32:
+        s = min(_ssim(b16[k][i], f32[k][i]) for i in range(len(tiles)))
+        assert s > 0.99, (k, s)
+        d = np.abs(b16[k].astype(np.int16) - f32[k].astype(np.int16))
+        assert d.max() <= 32, (k, d.max())
+        assert d.mean() <= 4.0, (k, d.mean())
