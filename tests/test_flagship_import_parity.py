@@ -1,0 +1,101 @@
+"""Flagship-scale torch import parity (SLOW, CPU).
+
+Round-2 VERDICT item 4: per-net torch parity was only tested at toy scale
+(ngf=16, 2 blocks, small tiles) — an indexing mistake at depth 9 / unet_512
+would only have surfaced after a pretrained-weights download. This test
+builds the REAL topology with random weights — 4x ResnetGenerator(ngf=64,
+9 blocks, zero padding; reference cli.py:94-95) + 5x UnetGenerator
+(num_downs=9 == unet_512, ngf=64; reference cli.py:179-180) — saves a
+reference-layout model dir, and checks the imported ensemble forward on a
+512x512 tile against the torch forward within the reference's
+serialize-parity budget (sum|diff| <= 10 over a 3x512x512 output,
+reference util/__init__.py:718-741).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+SEG_WEIGHTS = [0.25, 0.15, 0.25, 0.1, 0.25]
+
+FLAGSHIP_CFG = {
+    'model': 'DeepLIIF', 'modalities_no': 4, 'seg_gen': True, 'seg_no': 1,
+    'input_no': 1, 'netG': 'resnet_9blocks', 'net_gs': 'unet_512',
+    'ngf': 64, 'ndf': 64, 'norm': 'batch', 'no_dropout': False,
+    'padding': 'zero', 'upsample': 'convtranspose', 'scale_size': 512,
+    'seg_weights': SEG_WEIGHTS,
+    'modalities_names': ['IHC', 'Hema', 'DAPI', 'Lap2', 'Marker'],
+    'mod_id_seg': 'S', 'input_id': 0,
+}
+
+
+@pytest.fixture(scope='module')
+def flagship_dir(tmp_path_factory):
+    from tests.test_torch_import import torch_resnet_g, torch_unet_g, _rand_init
+    md = tmp_path_factory.mktemp('flagship_model')
+    torch.manual_seed(0)
+    translators, seg_nets = [], []
+    for i in range(1, 5):
+        net = _rand_init(torch_resnet_g(3, 3, ngf=64, n_blocks=9,
+                                        padding_type='zero'))
+        torch.save(net.state_dict(), md / f'latest_net_G{i}.pth')
+        translators.append(net)
+    for i in range(5):
+        net = _rand_init(torch_unet_g(3, 3, num_downs=9, ngf=64))
+        torch.save(net.state_dict(), md / f'latest_net_GS{i}.pth')
+        seg_nets.append(net)
+    with open(md / 'config.json', 'w') as f:
+        json.dump(FLAGSHIP_CFG, f)
+    return str(md), translators, seg_nets
+
+
+def test_flagship_ensemble_import_parity(flagship_dir):
+    model_dir, translators, seg_nets = flagship_dir
+    from deepliif_tpu.models import InferenceSession
+    from deepliif_tpu.models import deepliif as dl
+
+    rng = np.random.default_rng(7)
+    tile = rng.integers(0, 255, (512, 512, 3), np.uint8)
+    xf = tile.astype(np.float32) / 127.5 - 1.0           # engine normalization
+
+    # ---- torch reference forward (eval mode: dropout off, batch-stat norms)
+    xt = torch.from_numpy(xf.transpose(2, 0, 1)[None])
+    with torch.no_grad():
+        t_mods = [g(xt) for g in translators]
+        seg_ins = [xt] + t_mods
+        t_seg = sum(w * s(si) for w, si, s in
+                    zip(SEG_WEIGHTS, seg_ins, seg_nets))
+    t_mods = [m.numpy().transpose(0, 2, 3, 1) for m in t_mods]
+    t_seg = t_seg.numpy().transpose(0, 2, 3, 1)
+
+    # ---- imported ensemble, model-level float forward (f32)
+    session = InferenceSession(model_dir, n_devices=1)
+    out = jax.jit(lambda p, x: dl.inference_forward(p, x, session.d))(
+        session.params, jnp.asarray(xf)[None])
+    j_mods = np.asarray(out['mods'])                     # (4, 1, 512, 512, 3)
+    j_seg = np.asarray(out['seg'])
+
+    # reference serialize gate: sum|diff| <= 10 per 3x512x512 output
+    for i in range(4):
+        total = float(np.abs(j_mods[i] - t_mods[i]).sum())
+        assert total <= 10.0, f'G{i+1} sum|diff|={total}'
+    assert float(np.abs(j_seg - t_seg).sum()) <= 10.0
+
+    # ---- engine path (run_tiles, uint8): same quantization as tensor2im
+    eng = session.run_tiles(tile[None])
+    for i in range(4):
+        ref_u8 = ((t_mods[i][0] + 1.0) * 127.5).astype(np.uint8)
+        diff = np.abs(eng[f'G{i+1}'][0].astype(np.int16) - ref_u8.astype(np.int16))
+        assert diff.max() <= 1, f'G{i+1} uint8 max diff {diff.max()}'
+        # ~1% of pixels land on a quantization boundary and flip by 1
+        assert (diff > 0).mean() < 0.02
+    ref_seg_u8 = ((t_seg[0] + 1.0) * 127.5).astype(np.uint8)
+    diff = np.abs(eng['GS'][0].astype(np.int16) - ref_seg_u8.astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.02

@@ -21,20 +21,32 @@ from deepliif_tpu.utils import torch_import as ti
 BN = functools.partial(nn.BatchNorm2d, affine=True, track_running_stats=False)
 
 
-def torch_resnet_g(cin, cout, ngf=16, n_blocks=2, use_dropout=True):
-    """Reference-layout ResnetGenerator (reflect pad, convtranspose up)."""
+def torch_resnet_g(cin, cout, ngf=16, n_blocks=2, use_dropout=True,
+                   padding_type='reflect'):
+    """Reference-layout ResnetGenerator (reference networks.py:357-450);
+    padding_type reflect|zero selects ReflectionPad2d vs ZeroPad2d head/tail
+    and in-conv zero padding inside the blocks."""
     def block(dim):
-        seq = [nn.ReflectionPad2d(1), nn.Conv2d(dim, dim, 3, bias=False), BN(dim),
-               nn.ReLU(True)]
+        if padding_type == 'reflect':
+            seq = [nn.ReflectionPad2d(1), nn.Conv2d(dim, dim, 3, bias=False)]
+        else:
+            seq = [nn.Conv2d(dim, dim, 3, padding=1, bias=False)]
+        seq += [BN(dim), nn.ReLU(True)]
         if use_dropout:
             seq.append(nn.Dropout(0.5))
-        seq += [nn.ReflectionPad2d(1), nn.Conv2d(dim, dim, 3, bias=False), BN(dim)]
+        if padding_type == 'reflect':
+            seq += [nn.ReflectionPad2d(1), nn.Conv2d(dim, dim, 3, bias=False)]
+        else:
+            seq += [nn.Conv2d(dim, dim, 3, padding=1, bias=False)]
+        seq += [BN(dim)]
         m = nn.Module()
         m.conv_block = nn.Sequential(*seq)
         m.forward = lambda x, m=m: x + m.conv_block(x)
         return m
 
-    layers = [nn.ReflectionPad2d(3), nn.Conv2d(cin, ngf, 7, bias=False), BN(ngf),
+    head_pad = (nn.ReflectionPad2d(3) if padding_type == 'reflect'
+                else nn.ZeroPad2d(3))
+    layers = [head_pad, nn.Conv2d(cin, ngf, 7, bias=False), BN(ngf),
               nn.ReLU(True)]
     for i in range(2):
         mult = 2 ** i
@@ -47,7 +59,9 @@ def torch_resnet_g(cin, cout, ngf=16, n_blocks=2, use_dropout=True):
         layers += [nn.ConvTranspose2d(ngf * mult, ngf * mult // 2, 3, 2, 1,
                                       output_padding=1, bias=False),
                    BN(ngf * mult // 2), nn.ReLU(True)]
-    layers += [nn.ReflectionPad2d(3), nn.Conv2d(ngf, cout, 7), nn.Tanh()]
+    tail_pad = (nn.ReflectionPad2d(3) if padding_type == 'reflect'
+                else nn.ZeroPad2d(3))
+    layers += [tail_pad, nn.Conv2d(ngf, cout, 7), nn.Tanh()]
     net = nn.Module()
     net.model = nn.Sequential(*layers)
     net.forward = lambda x, net=net: net.model(x)
