@@ -6,15 +6,16 @@ pathology formats (reference util/__init__.py:559-691, 774-792). Neither
 tifffile nor zarr nor a JVM is available in this environment, so this module
 implements the needed subset directly:
 
-  * write_pyramid_tiff: tiled (256px) BigTIFF, deflate- or JPEG-compressed,
-    RGB, with /2 /4 /8 reduced-resolution pyramid pages — the same layout as
-    the reference's write_big_tiff_file;
+  * write_pyramid_tiff: tiled (256px) BigTIFF, deflate-, JPEG- or
+    JPEG-2000-compressed, RGB, with /2 /4 /8 reduced-resolution pyramid
+    pages — the same layout as the reference's write_big_tiff_file;
   * TiledTiffReader: random-access region reads that decode only the tiles
     or strips intersecting the request — the WSI fast path (bounded memory).
     Supports the layouts real slides use: classic and BigTIFF, tile- and
     strip-organized pages, uncompressed / deflate / JPEG (incl. Aperio .svs
-    abbreviated-JPEG tiles with a shared JPEGTables segment), RGB(A) and
-    YCbCr-in-JPEG photometrics;
+    abbreviated-JPEG tiles with a shared JPEGTables segment) / JPEG 2000
+    (Aperio 33003/33005 and TIFF 34712, via PIL's openjpeg codec), RGB(A)
+    and YCbCr-in-JPEG photometrics;
   * read_description / parse_magnification: objective magnification from
     Aperio ImageDescription ("AppMag = 40") or OME-XML NominalMagnification
     (the reference get_wsi_resolution, models/__init__.py:730-782).
@@ -115,9 +116,21 @@ def _decode_block(data, page, h, w):
         full[:min(h, out.shape[0]), :min(w, out.shape[1])] = \
             out[:h, :w]
         return full
+    elif comp in (33003, 33004, 33005, 34712):
+        # JPEG 2000: 34712 = standard TIFF JP2, 33003/33005 = Aperio .svs
+        # YCbCr/RGB J2K tiles (raw codestreams or JP2 boxes — PIL's
+        # openjpeg codec accepts both)
+        from PIL import Image
+        img = Image.open(io.BytesIO(data))
+        out = np.asarray(img.convert('RGB') if spp == 3 else img)
+        if out.ndim == 2:
+            out = out[:, :, None]
+        full = np.zeros((h, w, out.shape[2]), np.uint8)
+        full[:min(h, out.shape[0]), :min(w, out.shape[1])] = out[:h, :w]
+        return full
     else:
         raise ValueError(f'unsupported TIFF compression {comp} '
-                         '(supported: none, deflate, JPEG)')
+                         '(supported: none, deflate, JPEG, JPEG2000)')
     n = h * w * spp
     if arr.size < n:
         arr = np.concatenate([arr, np.zeros(n - arr.size, np.uint8)])
@@ -158,6 +171,7 @@ def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
     if canvas.ndim == 2:
         canvas = np.repeat(canvas[..., None], 3, -1)
     comp_jpeg = compression == 'jpeg'
+    comp_j2k = compression == 'jpeg2000'
     pages = []
     for f in levels:
         if f == 1:
@@ -166,11 +180,17 @@ def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
             pages.append(canvas[::f, ::f])  # nearest decimation (fast)
 
     def encode_tile(t):
-        if comp_jpeg:
+        if comp_jpeg or comp_j2k:
             from PIL import Image
             buf = io.BytesIO()
-            Image.fromarray(np.ascontiguousarray(t)).save(
-                buf, 'JPEG', quality=jpeg_quality)
+            if comp_j2k:
+                # raw J2K codestreams per tile (the Aperio 33003/34712
+                # layout); PIL uses openjpeg
+                Image.fromarray(np.ascontiguousarray(t)).save(
+                    buf, 'JPEG2000', codec='j2k')
+            else:
+                Image.fromarray(np.ascontiguousarray(t)).save(
+                    buf, 'JPEG', quality=jpeg_quality)
             return buf.getvalue()
         raw = t.tobytes()
         return zlib.compress(raw, 6) if compression else raw
@@ -226,7 +246,8 @@ def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
             entry(BITS_PER_SAMPLE, TYPE_SHORT, 3,
                   _inline_or_pointer(TYPE_SHORT, (8, 8, 8), bps_off))
             entry(COMPRESSION, TYPE_SHORT, 1,
-                  7 if comp_jpeg else (8 if compression else 1))
+                  7 if comp_jpeg else (34712 if comp_j2k
+                                       else (8 if compression else 1)))
             entry(PHOTOMETRIC, TYPE_SHORT, 1, 2)
             entry(SAMPLES_PER_PIXEL, TYPE_SHORT, 1, 3)
             entry(PLANAR_CONFIG, TYPE_SHORT, 1, 1)
