@@ -91,6 +91,17 @@ def test_pallas_labeling_interpret_matches():
     np.testing.assert_array_equal(ref, pal)
 
 
+def test_pallas_labeling_conn4_interpret_matches():
+    """4-connectivity (the background-flood mask) through the Pallas sweep
+    kernel matches the XLA path."""
+    rng = np.random.default_rng(5)
+    fg = rng.random((48, 40)) < 0.55
+    ref = np.asarray(label_components(jnp.asarray(fg), conn8=False))
+    pal = np.asarray(label_components_pallas(jnp.asarray(fg), conn8=False,
+                                             interpret=True))
+    np.testing.assert_array_equal(ref, pal)
+
+
 def test_device_auto_thresholds_match_host():
     from deepliif_tpu.ops.labeling import (auto_marker_threshold,
                                            auto_size_threshold)
