@@ -51,6 +51,29 @@ def _ssim(a, b):
     return stats.ssim(np.asarray(a), np.asarray(b), data_range=255)
 
 
+def test_bf16_golden_counts_match_f32():
+    """The headline benchmark runs bf16; with pretrained weights the bf16
+    path must reproduce the f32 golden cell counts exactly and stay within
+    SSIM >= 0.999 of the f32 outputs per modality (round-2 VERDICT item 7;
+    the always-on reduced-scale gate lives in tests/test_precision.py)."""
+    from deepliif_tpu.models import infer_modalities
+
+    src = os.path.join(GOLDEN_DIR, '22_2_real_A.png')
+    if not os.path.exists(src):
+        pytest.skip('golden input missing')
+    img = Image.open(src).convert('RGB')
+    images32, scoring32 = infer_modalities(img, 512, MODEL_DIR,
+                                           precision='float32')
+    images16, scoring16 = infer_modalities(img, 512, MODEL_DIR,
+                                           precision='bfloat16')
+    for key in ('num_total', 'num_pos', 'num_neg'):
+        assert scoring16[key] == scoring32[key], (key, scoring16, scoring32)
+    for name in images32:
+        if name.startswith('mod') or name == 'Seg':
+            s = _ssim(images16[name], images32[name])
+            assert s >= 0.999, (name, s)
+
+
 @pytest.mark.parametrize('stem', ['22_2_real_A', '34_3_real_A'])
 def test_golden_ssim(stem):
     from deepliif_tpu.models import infer_modalities

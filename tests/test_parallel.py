@@ -96,6 +96,49 @@ def test_run_tiles_mesh_matches_single_device(tmp_path):
         np.testing.assert_array_equal(host_m[k], host_1[k])
 
 
+def test_device_seg_stitch_on_mesh_matches_single_device(tmp_path):
+    """Spatial scaling across chips (SURVEY 5.7): with the tile batch
+    sharded over the mesh, the ON-DEVICE ownership-map stitch gathers the
+    seg canvas across devices — byte-equal to the single-device fused
+    path."""
+    import json
+    from PIL import Image
+    from deepliif_tpu.models import InferenceSession, inference
+    from deepliif_tpu.models import deepliif as dl_m
+    from deepliif_tpu.utils import checkpoints
+
+    cfg = {
+        'model': 'DeepLIIF', 'modalities_no': 2, 'seg_gen': True,
+        'seg_no': 1, 'input_no': 1, 'netG': 'resnet_6blocks',
+        'net_gs': 'unet_32', 'ngf': 8, 'ndf': 8, 'norm': 'batch',
+        'no_dropout': False, 'padding': 'zero', 'upsample': 'convtranspose',
+        'scale_size': 64, 'seg_weights': [0.4, 0.3, 0.3],
+        'modalities_names': ['IHC', 'ModA', 'Marker'],
+    }
+    d = dl_m.DeepLIIFDef(
+        modalities_no=2, net_g=('resnet_6blocks',) * 2,
+        net_gs=('unet_32',) * 3, ngf=8, ndf=8, seg_weights=(0.4, 0.3, 0.3))
+    checkpoints.save_networks(str(tmp_path), dl_m.init_params(
+        jax.random.PRNGKey(4), d, with_discriminators=False))
+    with open(tmp_path / 'config.json', 'w') as f:
+        json.dump(cfg, f)
+
+    rng = np.random.default_rng(2)
+    img = Image.fromarray(rng.integers(0, 255, (160, 224, 3), np.uint8))
+    sess8 = InferenceSession(str(tmp_path))
+    sess1 = InferenceSession(str(tmp_path), n_devices=1)
+    r8, seg8 = inference(img, tile_size=64, overlap_size=4,
+                         model_path=str(tmp_path), session=sess8,
+                         _device_seg=True)
+    r1, seg1 = inference(img, tile_size=64, overlap_size=4,
+                         model_path=str(tmp_path), session=sess1,
+                         _device_seg=True)
+    assert seg8 is not None and seg1 is not None
+    np.testing.assert_array_equal(np.asarray(seg8), np.asarray(seg1))
+    for k in r1:
+        np.testing.assert_array_equal(np.asarray(r8[k]), np.asarray(r1[k]))
+
+
 def test_data_parallel_grads_equal_single_device():
     """One data-parallel step over 8 devices == one single-device step on the
     same global batch (the DP/DDP replacement correctness contract)."""
