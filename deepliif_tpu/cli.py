@@ -366,9 +366,14 @@ def import_model(torch_dir, output_dir, do_verify):
               help='override the model dir compute precision; int8 runs '
                    'interior convs on the int8 MXU path (fidelity table in '
                    'docs/Performance.md)')
-@click.option('--device-quant', is_flag=True,
-              help='run quantification (labeling/thresholds/overlays) as '
-                   'one jitted XLA program instead of the host path')
+@click.option('--device-quant', type=click.Choice(['auto', 'on', 'off']),
+              default='auto', is_flag=False, flag_value='on',
+              help='quantification engine: on = one jitted XLA program '
+                   '(labeling/thresholds/overlays on device), off = host '
+                   'path, auto = device when the seg canvas is already '
+                   'device-resident, large, and D2H bandwidth is '
+                   'PCIe-class (measured crossover, docs/Performance.md). '
+                   'Bare --device-quant means on.')
 @click.option('--gpu-ids', default=None, help='ignored on TPU (torch compat)')
 def test(input_dir, output_dir, tile_size, model_dir, filename_pattern,
          eager_mode, epoch, seg_intermediate, seg_only, mod_only, color_dapi,
@@ -407,7 +412,9 @@ def test(input_dir, output_dir, tile_size, model_dir, filename_pattern,
                 img, tile_size, model_dir, opt=opt,
                 return_seg_intermediate=seg_intermediate,
                 seg_only=seg_only, mod_only=mod_only, seg_weights=seg_weights,
-                max_batch=max_batch, device_quant=device_quant,
+                max_batch=max_batch,
+                device_quant={'on': True, 'off': False}.get(device_quant,
+                                                            'auto'),
                 precision=precision)
             stem = filename.rsplit('.', 1)[0]
             for name, im in images.items():

@@ -61,7 +61,7 @@ def _neighbor_min(lab, fg, conn8=True):
     return jnp.where(fg, out, INF)
 
 
-def label_components(fg, conn8=True, max_iters=None, sweeps_per_jump=8):
+def label_components(fg, conn8=True, max_iters=None, sweeps_per_jump=32):
     """Connected components of a boolean image.
 
     Returns int32 labels: background = INF sentinel replaced by 0, foreground
@@ -71,8 +71,9 @@ def label_components(fg, conn8=True, max_iters=None, sweeps_per_jump=8):
     (pure shifted minima, ~1 ms on a 2M-pixel canvas) before one
     pointer-jumping step — the 2M-element random gather is the expensive
     part on TPU (~14 ms measured), so amortizing it over several sweeps
-    cuts labeling time ~4x (0.44 s -> 0.12 s on a 1536x1280 canvas, v5e)
-    without changing the fixed point.
+    cuts labeling time ~6x (0.44 s -> 0.075 s on a 1536x1280 canvas, v5e;
+    round-3 sweep: 8/16/32 sweeps -> 0.116/0.089/0.075 s) without changing
+    the fixed point.
     """
     h, w = fg.shape
     idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
@@ -357,11 +358,11 @@ def _prop_kernel(lab_ref, fg_ref, out_ref, *, sweeps, conn8=True):
     def one(lab):
         big = jnp.where(fg, lab, INF)
         out = big
-        # shift via slicing on a padded array
+        # shift via STATIC slicing on a padded array (dy/dx are Python
+        # ints; lax.dynamic_slice has no Mosaic lowering)
         padded = jnp.pad(big, ((1, 1), (1, 1)), constant_values=INF)
         for dy, dx in shifts:
-            out = jnp.minimum(out, jax.lax.dynamic_slice(
-                padded, (dy, dx), (h, w)))
+            out = jnp.minimum(out, padded[dy:dy + h, dx:dx + w])
         return jnp.where(fg, out, INF)
 
     lab = jax.lax.fori_loop(0, sweeps, lambda _, l: one(l), lab)

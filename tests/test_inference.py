@@ -129,6 +129,35 @@ def test_run_to_run_consistency_contract(model_dir):
         np.testing.assert_array_equal(np.asarray(r1[k]), np.asarray(r2[k]))
 
 
+def test_device_quant_auto_crossover(model_dir, monkeypatch):
+    """'auto' picks the device quantifier only when the seg canvas is
+    device-resident, large, and D2H bandwidth is PCIe-class."""
+    import jax.numpy as jnp
+    from deepliif_tpu import models as M
+
+    small = jnp.zeros((64, 64, 3), jnp.uint8)
+    big = jnp.zeros((1280, 1280, 3), jnp.uint8)
+
+    monkeypatch.setattr(M, '_d2h_bandwidth_mbps', lambda: 5000.0)
+    assert M._resolve_device_quant('auto', None, None) is False
+    assert M._resolve_device_quant('auto', small, None) is False
+    assert M._resolve_device_quant('auto', big, None) is True
+    monkeypatch.setattr(M, '_d2h_bandwidth_mbps', lambda: 20.0)
+    assert M._resolve_device_quant('auto', big, None) is False
+    assert M._resolve_device_quant(True, None, None) is True
+    assert M._resolve_device_quant(False, big, None) is False
+
+    # e2e through infer_modalities with auto (host fallback on this canvas)
+    from deepliif_tpu.models import infer_modalities
+    img = _sample_img(128, 128)
+    images, scoring = infer_modalities(img, 64, model_dir,
+                                       device_quant='auto')
+    ref_images, ref_scoring = infer_modalities(img, 64, model_dir)
+    assert scoring == ref_scoring
+    np.testing.assert_array_equal(np.asarray(images['Seg']),
+                                  np.asarray(ref_images['Seg']))
+
+
 def test_serialized_vs_eager_consistency(model_dir, tmp_path):
     """Eager (original dir) vs serialized artifact outputs are identical
     (reference gate: 1-SSIM < 0.0003; serialize parity sum|diff| <= 10)."""
