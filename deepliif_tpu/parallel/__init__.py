@@ -10,6 +10,7 @@ replicated; gradient psums ride ICI inside the jitted step.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -59,3 +60,41 @@ def make_data_parallel_train_step(step_fn, mesh, axis='data'):
     (the DDP replacement)."""
     in_shardings = (replicated(mesh), batch_sharded(mesh, axis), replicated(mesh))
     return jax.jit(step_fn, in_shardings=in_shardings, donate_argnums=(0,))
+
+
+def spatial_halo_apply(fn, x, mesh, halo, axis='data'):
+    """Apply a local spatial op over a width-sharded image with
+    collective-permute halo exchange (the 'long-context' spatial analog,
+    SURVEY 2.3/5.7: conv-family ops over one large ROI sharded across the
+    mesh instead of tiled through the host).
+
+    ``x`` is (H, W, C) with W divisible by the mesh size. Each device
+    receives its width shard plus ``halo`` columns from each neighbor via
+    ``lax.ppermute`` (edge shards see zeros — zero-pad semantics), then
+    ``fn`` maps the haloed block (H, W/n + 2*halo, C) to the shard's
+    outputs (H, W/n, C). For any op whose receptive radius is <= halo
+    (e.g. a stack of 3x3 convs or min-propagation sweeps), the result is
+    bit-identical to running fn on the whole image on one device.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    n = mesh.shape[axis]
+    H, W, C = x.shape
+    if W % n != 0:
+        raise ValueError(f'width {W} not divisible by mesh size {n}')
+
+    def local(xl):
+        # xl: (H, W/n, C) local shard
+        to_right = [(i, i + 1) for i in range(n - 1)]
+        to_left = [(i + 1, i) for i in range(n - 1)]
+        from_left = jax.lax.ppermute(xl[:, -halo:], axis, to_right)
+        from_right = jax.lax.ppermute(xl[:, :halo], axis, to_left)
+        xp = jnp.concatenate([from_left, xl, from_right], axis=1)
+        return fn(xp)
+
+    return shard_map(local, mesh=mesh,
+                     in_specs=P(None, axis, None),
+                     out_specs=P(None, axis, None))(x)

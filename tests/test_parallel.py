@@ -139,6 +139,66 @@ def test_device_seg_stitch_on_mesh_matches_single_device(tmp_path):
         np.testing.assert_array_equal(np.asarray(r8[k]), np.asarray(r1[k]))
 
 
+def test_spatial_halo_conv_matches_unsharded():
+    """A SAME 3x3 conv over a width-sharded image with ppermute halo
+    exchange is bit-identical to the unsharded conv (SURVEY 2.3 spatial
+    sharding / 'long-context' analog)."""
+    from deepliif_tpu import parallel
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((16, 64, 3)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 5)) * 0.1, jnp.float32)
+    dn = ('NHWC', 'HWIO', 'NHWC')
+
+    ref = jax.lax.conv_general_dilated(x[None], w, (1, 1),
+                                       [(1, 1), (1, 1)],
+                                       dimension_numbers=dn)[0]
+
+    def local(xp):  # (H, W/n + 2, C) -> (H, W/n, 5): SAME on H, VALID on W
+        return jax.lax.conv_general_dilated(xp[None], w, (1, 1),
+                                            [(1, 1), (0, 0)],
+                                            dimension_numbers=dn)[0]
+
+    mesh = parallel.get_mesh(8)
+    out = parallel.spatial_halo_apply(local, x, mesh, halo=1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_spatial_halo_label_sweeps_match_unsharded():
+    """K min-propagation sweeps (the CC labeling inner loop) over a
+    width-sharded label image with halo=K equal the unsharded sweeps —
+    the building block for cross-device quantification of one large ROI."""
+    from deepliif_tpu import parallel
+    from deepliif_tpu.ops.labeling import _neighbor_min, INF
+
+    rng = np.random.default_rng(1)
+    fg = rng.random((32, 64)) < 0.5
+    idx = np.arange(32 * 64, dtype=np.int32).reshape(32, 64)
+    lab = np.where(fg, idx, INF)
+
+    K = 4
+
+    def sweeps(lab_j, fg_j):
+        out = lab_j
+        for _ in range(K):
+            out = _neighbor_min(out, fg_j, conn8=True)
+        return out
+
+    ref = np.asarray(sweeps(jnp.asarray(lab), jnp.asarray(fg)))
+
+    # pack (label, fg) as channels so one halo exchange carries both
+    packed = jnp.stack([jnp.asarray(lab),
+                        jnp.asarray(fg, jnp.int32)], axis=-1)
+
+    def local(xp):  # (H, W/n + 2K, 2)
+        out = sweeps(xp[..., 0], xp[..., 1] != 0)
+        return out[:, K:-K, None]
+
+    mesh = parallel.get_mesh(8)
+    out = parallel.spatial_halo_apply(local, packed, mesh, halo=K)
+    np.testing.assert_array_equal(np.asarray(out)[..., 0], ref)
+
+
 def test_data_parallel_grads_equal_single_device():
     """One data-parallel step over 8 devices == one single-device step on the
     same global batch (the DP/DDP replacement correctness contract)."""
