@@ -93,7 +93,7 @@ def _apply_fused(p, x, n_blocks, norm, padding_type, pad_head):
     """Fully-fused inference path: every stage after the head conv runs as a
     Pallas kernel that applies the previous stage's norm affine + ReLU on
     the fly and emits the stats for the next one — norm passes never touch
-    HBM separately (ops.fused_stages + ops.fused_resblock)."""
+    HBM separately (labs.fused_stages + ops.fused_resblock)."""
     from ..ops import fused_resblock as FR
     from ..labs import fused_stages as FS
 
