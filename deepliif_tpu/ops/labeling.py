@@ -61,7 +61,8 @@ def _neighbor_min(lab, fg, conn8=True):
     return jnp.where(fg, out, INF)
 
 
-def label_components(fg, conn8=True, max_iters=None, sweeps_per_jump=32):
+def label_components(fg, conn8=True, max_iters=None, sweeps_per_jump=32,
+                     mesh=None):
     """Connected components of a boolean image.
 
     Returns int32 labels: background = INF sentinel replaced by 0, foreground
@@ -74,16 +75,48 @@ def label_components(fg, conn8=True, max_iters=None, sweeps_per_jump=32):
     cuts labeling time ~6x (0.44 s -> 0.075 s on a 1536x1280 canvas, v5e;
     round-3 sweep: 8/16/32 sweeps -> 0.116/0.089/0.075 s) without changing
     the fixed point.
+
+    ``mesh``: optional jax.sharding.Mesh — the neighbor-min sweeps then run
+    width-sharded across the mesh with collective-permute halo exchange
+    (parallel.spatial_halo_apply; halo = sweeps_per_jump columns), so one
+    huge canvas is labeled by all chips cooperatively. The pointer-jump
+    gather stays a whole-array op (XLA SPMD inserts the collective).
+    Identical fixed point and labels (tests/test_ops_device.py).
     """
     h, w = fg.shape
     idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
     lab = jnp.where(fg, idx, INF)
 
+    if mesh is not None:
+        from ..parallel import spatial_halo_apply
+        n_dev = mesh.devices.size
+        if w % n_dev != 0:
+            raise ValueError(f'canvas width {w} not divisible by mesh '
+                             f'size {n_dev}; pad first')
+        fg_i = fg.astype(jnp.int32)
+        K = sweeps_per_jump
+
+        def sweeps(lab):
+            packed = jnp.stack([lab, fg_i], axis=-1)
+
+            def local(xp):
+                out = xp[..., 0]
+                fgl = xp[..., 1] != 0
+                for _ in range(K):
+                    out = _neighbor_min(out, fgl, conn8)
+                return out[:, K:-K, None]
+
+            return spatial_halo_apply(local, packed, mesh, halo=K)[..., 0]
+    else:
+        def sweeps(lab):
+            new = lab
+            for _ in range(sweeps_per_jump):
+                new = _neighbor_min(new, fg, conn8)
+            return new
+
     def body(state):
         lab, _ = state
-        new = lab
-        for _ in range(sweeps_per_jump):
-            new = _neighbor_min(new, fg, conn8)
+        new = sweeps(lab)
         # pointer jumping: label <- label at the pixel the label points to
         flat = new.reshape(-1)
         jumped = jnp.where(flat == INF, INF,
@@ -99,12 +132,12 @@ def label_components(fg, conn8=True, max_iters=None, sweeps_per_jump=32):
     return jnp.where(fg, lab + 1, 0)
 
 
-def flood_background(mask):
+def flood_background(mask, mesh=None):
     """Device version of mark_background (ref :193-233): unknown pixels
     4-connected to the border become background."""
     h, w = mask.shape
     unk = mask == LABEL_UNKNOWN
-    lab = label_components(unk, conn8=False)
+    lab = label_components(unk, conn8=False, mesh=mesh)
     border_labels = jnp.concatenate([lab[0], lab[-1], lab[:, 0], lab[:, -1]])
     # scatter border labels into a flag table (labels are <= h*w)
     flag = jnp.zeros(h * w + 2, bool).at[border_labels].set(True)
@@ -419,16 +452,35 @@ def label_components_pallas(fg, sweeps_per_call=8, conn8=True,
 _RUN_CACHE = {}
 
 
+def _auto_quant_mesh(seg_shape):
+    """Engage mesh-sharded labeling only for huge canvases on multi-device
+    hosts: below ~16 MPx (an ROI is ~2 MPx; a 20000px WSI region is 400
+    MPx) the per-iteration collectives cost more than the sweep saving.
+    DEEPLIIF_QUANT_MESH=0 disables, =1 forces (any size)."""
+    import os
+    flag = os.environ.get('DEEPLIIF_QUANT_MESH', 'auto')
+    if flag == '0' or len(jax.devices()) < 2:
+        return None
+    if flag != '1' and seg_shape[0] * seg_shape[1] < 16_000_000:
+        return None
+    from ..parallel import get_mesh
+    return get_mesh()
+
+
 def compute_final_results_device(orig_u8, seg_u8, marker_u8=None,
                                  resolution='40x', size_thresh='default',
                                  marker_thresh=None, size_thresh_upper=None,
                                  seg_thresh=120, noise_thresh=4,
-                                 large_noise_thresh=None):
+                                 large_noise_thresh=None, mesh='auto'):
     """Device mirror of postprocessing.compute_final_results (ref
     :1223-1304): posneg mask -> background flood -> CC labeling -> KDE
     auto size threshold -> classification -> overlay/refined images, all in
     one jitted program. Returns (overlay, refined, scoring) with device
     arrays fetched to numpy and a host-identical scoring dict.
+
+    ``mesh``: 'auto' (default) shards the labeling sweeps across all
+    devices for huge canvases (_auto_quant_mesh); pass a Mesh to force, or
+    None for single-device.
 
     The jitted program is cached per static-parameter tuple at module level
     — defining it per call made EVERY call retrace the whole graph
@@ -436,6 +488,11 @@ def compute_final_results_device(orig_u8, seg_u8, marker_u8=None,
     cache, measured v5e round 2).
     """
     from .. import postprocessing as pp
+
+    if mesh == 'auto':
+        mesh = _auto_quant_mesh(np.asarray(seg_u8).shape
+                                if not isinstance(seg_u8, jnp.ndarray)
+                                else seg_u8.shape)
 
     large_noise = pp.calculate_large_noise_thresh(large_noise_thresh,
                                                   resolution)
@@ -447,19 +504,21 @@ def compute_final_results_device(orig_u8, seg_u8, marker_u8=None,
 
     cache_key = (resolution, auto_size, auto_marker, static_size,
                  static_marker, size_thresh_upper, seg_thresh, noise_thresh,
-                 large_noise)
+                 large_noise,
+                 None if mesh is None else int(mesh.devices.size))
     if cache_key in _RUN_CACHE:
         run = _RUN_CACHE[cache_key]
         return _finish(run, orig_u8, seg_u8, marker_u8, size_thresh,
-                       size_thresh_upper, seg_thresh, marker_thresh)
+                       size_thresh_upper, seg_thresh, marker_thresh,
+                       mesh=mesh)
 
     @jax.jit
     def run(seg, orig, marker):
         h, w = seg.shape[:2]
         mask = posneg_mask(seg, seg_thresh)
-        mask = flood_background(mask)
+        mask = flood_background(mask, mesh=mesh)
         fg = mask != LABEL_BACKGROUND
-        lab = label_components(fg, conn8=True)
+        lab = label_components(fg, conn8=True, mesh=mesh)
 
         n = h * w + 1
         flat = lab.reshape(-1)
@@ -512,11 +571,12 @@ def compute_final_results_device(orig_u8, seg_u8, marker_u8=None,
 
     _RUN_CACHE[cache_key] = run
     return _finish(run, orig_u8, seg_u8, marker_u8, size_thresh,
-                   size_thresh_upper, seg_thresh, marker_thresh)
+                   size_thresh_upper, seg_thresh, marker_thresh, mesh=mesh)
 
 
 def _finish(run, orig_u8, seg_u8, marker_u8, size_thresh, size_thresh_upper,
-            seg_thresh, marker_thresh):
+            seg_thresh, marker_thresh, mesh=None):
+    import math
     # seg may arrive as a DEVICE array (the fused inference path stitches it
     # on device); keep it there — padding happens with jnp ops, no fetch
     seg_on_device = isinstance(seg_u8, jnp.ndarray)
@@ -525,9 +585,14 @@ def _finish(run, orig_u8, seg_u8, marker_u8, size_thresh, size_thresh_upper,
     h0, w0 = int(seg_in.shape[0]), int(seg_in.shape[1])
     # pad to multiples of 256 to bound jit-cache growth across canvas sizes;
     # zero padding is 'unknown' and border-connected, so it floods to
-    # background and cannot affect counts
+    # background and cannot affect counts. Under mesh-sharded labeling the
+    # width must also divide the device count.
+    mult_w = 256
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        mult_w = 256 * n_dev // math.gcd(256, n_dev)
     ph = (-h0) % 256
-    pw = (-w0) % 256
+    pw = (-w0) % mult_w
     if ph or pw:
         pad3 = ((0, ph), (0, pw), (0, 0))
         seg_in = (jnp.pad(seg_in, pad3) if seg_on_device
