@@ -180,7 +180,7 @@ def conv3x3_s2_stats(x, w, *, in_scale=None, in_bias=None, in_relu=False,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((s_n, 2 * cin), lambda s, r: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((3, 2 * cin, cout), lambda s, r: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 2 * cin, cout), lambda s, r: (0, 0, 0),
@@ -325,7 +325,7 @@ def convtranspose3_s2_stats(x, w, *, in_scale=None, in_bias=None,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((s_n, cin), lambda s, r: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((3, cin, 2 * cout), lambda s, r: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, cin, 2 * cout), lambda s, r: (0, 0, 0),
@@ -541,7 +541,7 @@ def tail_s2d_block(x, w, *, in_scale=None, in_bias=None, in_relu=False,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((s_n, 8 * cin), lambda s, r: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((14, 8 * cin, nout), lambda s, r: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((14, 8 * cin, nout), lambda s, r: (0, 0, 0),

@@ -166,7 +166,7 @@ def conv3x3_stats(x, w, *, padding='reflect', in_scale=None, in_bias=None,
                          memory_space=pltpu.VMEM),      # in_scale
             pl.BlockSpec((s_n, c), lambda s, r: (0, 0),
                          memory_space=pltpu.VMEM),      # in_bias
-            pl.BlockSpec(memory_space=pltpu.ANY),       # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # x stays in HBM
             pl.BlockSpec((3, 3, c, c), lambda s, r: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),      # weights resident
         ],
