@@ -223,10 +223,42 @@ def swd(images_a, images_b, n_levels=4, n_descriptors=4096, patch=7,
 # IS / FID with pluggable features
 # ---------------------------------------------------------------------------
 
+def load_inception_npz(path):
+    """Load converted torchvision inception_v3 weights (produced by
+    `utils.torch_import.convert_inception_v3`) into the stats.inception
+    pytree."""
+    import jax.numpy as jnp
+    data = np.load(path)
+    p = {}
+    for key in data.files:
+        node = p
+        parts = key.split('.')
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = jnp.asarray(data[key])
+    return p
+
+
+def inception_features_fn(weights_path, batch=16):
+    """Paper-comparable FID features: Inception-V3 pool3 from converted
+    torchvision weights (reference DeepLIIF_Statistics/fid.py semantics).
+    One download away in egress-blocked environments — see
+    docs/Statistics notes."""
+    from . import inception
+    return inception.make_features_fn(load_inception_npz(weights_path),
+                                      batch=batch)
+
+
 def default_features_fn():
-    """Fixed-seed VGG19 embedding (mean-pooled slice-5 features). NOT
-    Inception-V3: use for relative comparisons only, or pass a custom
-    features_fn loaded from converted Inception weights."""
+    """FID embedding. If converted Inception-V3 weights are available
+    (DEEPLIIF_INCEPTION_NPZ env var, or ./inception_v3.npz), uses the real
+    Inception pool3 features — paper-comparable. Otherwise falls back to a
+    fixed-seed VGG19 embedding (mean-pooled slice-5 features): relative
+    comparisons only."""
+    import os
+    cand = os.environ.get('DEEPLIIF_INCEPTION_NPZ', 'inception_v3.npz')
+    if cand and os.path.exists(cand):
+        return inception_features_fn(cand)
     import jax
     import jax.numpy as jnp
     from ..nets import vgg

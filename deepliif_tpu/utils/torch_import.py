@@ -360,3 +360,84 @@ def convert_vgg19(torch_weights_path, out_npz):
         out[f'conv{i}_b'] = _np(sd[f'features.{fi}.bias'])
     np.savez(out_npz, **out)
     return out_npz
+
+
+# ---------------------------------------------------------------------------
+# Inception-V3 (torchvision layout) for FID / Inception Score
+# ---------------------------------------------------------------------------
+
+def _bconv_from_torch(sd, prefix):
+    """BasicConv2d: conv (no bias) + BatchNorm2d with RUNNING stats (eval
+    mode keeps them, unlike the DeepLIIF norm quirk)."""
+    return {
+        'w': np.ascontiguousarray(
+            _np(sd[f'{prefix}.conv.weight']).transpose(2, 3, 1, 0)),
+        's': _np(sd[f'{prefix}.bn.weight']),
+        'b': _np(sd[f'{prefix}.bn.bias']),
+        'm': _np(sd[f'{prefix}.bn.running_mean']),
+        'v': _np(sd[f'{prefix}.bn.running_var']),
+    }
+
+
+_INCEPTION_BRANCHES = {
+    'Mixed_5b': ['branch1x1', 'branch5x5_1', 'branch5x5_2', 'branch3x3dbl_1',
+                 'branch3x3dbl_2', 'branch3x3dbl_3', 'branch_pool'],
+    'Mixed_6a': ['branch3x3', 'branch3x3dbl_1', 'branch3x3dbl_2',
+                 'branch3x3dbl_3'],
+    'Mixed_6b': ['branch1x1', 'branch7x7_1', 'branch7x7_2', 'branch7x7_3',
+                 'branch7x7dbl_1', 'branch7x7dbl_2', 'branch7x7dbl_3',
+                 'branch7x7dbl_4', 'branch7x7dbl_5', 'branch_pool'],
+    'Mixed_7a': ['branch3x3_1', 'branch3x3_2', 'branch7x7x3_1',
+                 'branch7x7x3_2', 'branch7x7x3_3', 'branch7x7x3_4'],
+    'Mixed_7b': ['branch1x1', 'branch3x3_1', 'branch3x3_2a', 'branch3x3_2b',
+                 'branch3x3dbl_1', 'branch3x3dbl_2', 'branch3x3dbl_3a',
+                 'branch3x3dbl_3b', 'branch_pool'],
+}
+_INCEPTION_BRANCHES['Mixed_5c'] = _INCEPTION_BRANCHES['Mixed_5b']
+_INCEPTION_BRANCHES['Mixed_5d'] = _INCEPTION_BRANCHES['Mixed_5b']
+_INCEPTION_BRANCHES['Mixed_6c'] = _INCEPTION_BRANCHES['Mixed_6b']
+_INCEPTION_BRANCHES['Mixed_6d'] = _INCEPTION_BRANCHES['Mixed_6b']
+_INCEPTION_BRANCHES['Mixed_6e'] = _INCEPTION_BRANCHES['Mixed_6b']
+_INCEPTION_BRANCHES['Mixed_7c'] = _INCEPTION_BRANCHES['Mixed_7b']
+
+
+def import_inception_v3(sd):
+    """torchvision ``inception_v3`` state dict -> stats.inception pytree
+    (AuxLogits ignored; fc kept for Inception Score logits)."""
+    sd = _strip_module_prefix(sd)
+    p = {}
+    for stem in ('Conv2d_1a_3x3', 'Conv2d_2a_3x3', 'Conv2d_2b_3x3',
+                 'Conv2d_3b_1x1', 'Conv2d_4a_3x3'):
+        p[stem] = _bconv_from_torch(sd, stem)
+    for block, branches in _INCEPTION_BRANCHES.items():
+        p[block] = {br: _bconv_from_torch(sd, f'{block}.{br}')
+                    for br in branches}
+    if 'fc.weight' in sd:
+        p['fc'] = {'w': np.ascontiguousarray(_np(sd['fc.weight']).T),
+                   'b': _np(sd['fc.bias'])}
+    return p
+
+
+def convert_inception_v3(torch_weights_path, out_npz):
+    """Convert torchvision inception_v3 weights (.pth) to an npz loadable by
+    stats.load_inception_npz — the one-download step to paper-comparable
+    FID/IS (reference DeepLIIF_Statistics/fid.py uses Inception pool3)."""
+    import torch
+    sd = torch.load(torch_weights_path, map_location='cpu', weights_only=False)
+    if hasattr(sd, 'state_dict'):
+        sd = sd.state_dict()
+    p = import_inception_v3(sd)
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict) and 'w' in node and not isinstance(
+                node['w'], dict):
+            for k, v in node.items():
+                flat[f'{prefix}.{k}'] = v
+        else:
+            for k, v in node.items():
+                walk(f'{prefix}.{k}' if prefix else k, v)
+
+    walk('', p)
+    np.savez(out_npz, **flat)
+    return out_npz
