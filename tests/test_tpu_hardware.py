@@ -58,6 +58,44 @@ print('resblock ok', np.asarray(y.astype(jnp.float32)).std())
     assert 'resblock ok' in out
 
 
+def test_pallas_labeling_matches_xla_on_tpu():
+    """The label-propagation sweep kernel (int8 mask + aliasing) compiles
+    and matches the XLA path on hardware at a VMEM-fitting canvas size
+    (whole-ROI canvases exceed scoped VMEM — documented negative result)."""
+    out = _run_on_tpu('''
+import jax, jax.numpy as jnp, numpy as np
+from deepliif_tpu.ops.labeling import label_components, label_components_pallas
+rng = np.random.default_rng(3)
+fg = jnp.asarray(rng.random((256, 256)) < 0.4)
+ref = np.asarray(jax.jit(lambda f: label_components(f))(fg))
+pal = np.asarray(jax.jit(lambda f: label_components_pallas(f))(fg))
+assert (ref == pal).all()
+pal4 = np.asarray(jax.jit(lambda f: label_components_pallas(f, conn8=False))(fg))
+ref4 = np.asarray(jax.jit(lambda f: label_components(f, conn8=False))(fg))
+assert (ref4 == pal4).all()
+print('pallas labeling ok')
+''')
+    assert 'pallas labeling ok' in out
+
+
+def test_int8_conv_matches_f32_on_tpu():
+    """The int8 MXU conv path produces the expected numerics on hardware."""
+    out = _run_on_tpu('''
+import jax, jax.numpy as jnp, numpy as np
+from deepliif_tpu.nets import layers as L
+rng = np.random.default_rng(0)
+x = jnp.asarray(rng.standard_normal((2, 64, 64, 64)), jnp.float32)
+p = {'w': jnp.asarray(rng.standard_normal((3, 3, 64, 64)) * 0.05, jnp.float32)}
+ref = np.asarray(jax.jit(lambda x: L.conv2d(x, p, 1, 1))(x))
+q = L.quantize_conv_int8(p)
+out = np.asarray(jax.jit(lambda x: L.conv2d(x, q, 1, 1))(x))
+rel = float(np.abs(out - ref).mean() / np.abs(ref).mean())
+assert rel < 0.03, rel
+print('int8 conv ok', rel)
+''')
+    assert 'int8 conv ok' in out
+
+
 def test_s2d_tail_matches_direct_on_tpu():
     out = _run_on_tpu('''
 import os
