@@ -15,7 +15,9 @@ implements the needed subset directly:
     strip-organized pages, uncompressed / deflate / JPEG (incl. Aperio .svs
     abbreviated-JPEG tiles with a shared JPEGTables segment) / JPEG 2000
     (Aperio 33003/33005 and TIFF 34712, via PIL's openjpeg codec), RGB(A)
-    and YCbCr-in-JPEG photometrics;
+    and YCbCr-in-JPEG photometrics; Hamamatsu .ndpi specifics (SourceLens
+    magnification tag, >4 GiB modulo-2^32 strip-offset reconstruction,
+    zeroed-SOF JPEG dimension patching);
   * read_description / parse_magnification: objective magnification from
     Aperio ImageDescription ("AppMag = 40") or OME-XML NominalMagnification
     (the reference get_wsi_resolution, models/__init__.py:730-782).
@@ -49,12 +51,19 @@ TILE_BYTE_COUNTS = 325
 JPEG_TABLES = 347
 NEW_SUBFILE_TYPE = 254
 SAMPLE_FORMAT = 339
+NDPI_FORMAT_FLAG = 65420   # Hamamatsu .ndpi marker tag
+NDPI_SOURCE_LENS = 65421   # objective power (float; -1 macro, -2 map)
 
 TYPE_BYTE = 1
 TYPE_ASCII = 2
 TYPE_SHORT = 3    # uint16
 TYPE_LONG = 4     # uint32
+TYPE_RATIONAL = 5
 TYPE_UNDEFINED = 7
+TYPE_SSHORT = 8
+TYPE_SLONG = 9
+TYPE_FLOAT = 11
+TYPE_DOUBLE = 12
 TYPE_LONG8 = 16   # uint64 (BigTIFF)
 
 TILE = 256
@@ -96,6 +105,39 @@ def merge_jpeg_tables(tables, tile_data):
     return tile_data[:2] + body + tile_data[2:]
 
 
+def patch_jpeg_sof(stream, h, w):
+    """Rewrite zeroed SOF dimensions in a JPEG stream.
+
+    Hamamatsu .ndpi images wider/taller than JPEG's 65535 limit are stored
+    with 0 in the SOF frame header; the true strip dimensions live in the
+    TIFF tags (Bio-Formats applies the same fix when the reference reads
+    .ndpi, util/__init__.py:559-617). Returns the stream with the SOF
+    height/width replaced by (h, w) when they are zero."""
+    if h > 0xFFFF or w > 0xFFFF or stream[:2] != b'\xff\xd8':
+        return stream
+    i = 2
+    n = len(stream)
+    while i + 4 <= n:
+        if stream[i] != 0xFF:
+            break
+        marker = stream[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = struct.unpack('>H', stream[i + 2:i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            # SOF frame header: [len][precision][height u16][width u16]...
+            dh, dw = struct.unpack('>HH', stream[i + 5:i + 9])
+            if dh == 0 or dw == 0:
+                return (stream[:i + 5] + struct.pack('>HH', dh or h, dw or w)
+                        + stream[i + 9:])
+            return stream
+        if marker == 0xDA:   # start of scan — no SOF found before it
+            break
+        i += 2 + seg_len
+    return stream
+
+
 def _decode_block(data, page, h, w):
     """Decode one tile/strip payload to (h, w, spp) uint8."""
     comp = page['compression']
@@ -107,6 +149,8 @@ def _decode_block(data, page, h, w):
     elif comp == 7:  # JPEG ('new-style'); PIL handles YCbCr->RGB
         from PIL import Image
         stream = merge_jpeg_tables(page.get('jpeg_tables'), data)
+        if page.get('ndpi'):
+            stream = patch_jpeg_sof(stream, h, w)
         img = Image.open(io.BytesIO(stream))
         out = np.asarray(img.convert('RGB') if spp == 3 else img)
         if out.ndim == 2:
@@ -408,7 +452,13 @@ class TiledTiffReader:
             data = self.fh.read(count)
             self.fh.seek(pos)
             return data
-        fmt = {TYPE_SHORT: 'H', TYPE_LONG: 'I', TYPE_LONG8: 'Q'}[typ]
+        if typ == TYPE_RATIONAL:
+            pairs = self._read_value_array(TYPE_LONG, count * 2, raw)
+            return tuple(n / d if d else 0.0
+                         for n, d in zip(pairs[::2], pairs[1::2]))
+        fmt = {TYPE_SHORT: 'H', TYPE_LONG: 'I', TYPE_LONG8: 'Q',
+               TYPE_SSHORT: 'h', TYPE_SLONG: 'i', TYPE_FLOAT: 'f',
+               TYPE_DOUBLE: 'd'}[typ]
         size = struct.calcsize('<' + fmt) * count
         inline_cap = 8 if self.big else 4
         if size <= inline_cap:
@@ -444,7 +494,10 @@ class TiledTiffReader:
                 if tag not in tags:
                     return default
                 typ, count, val = tags[tag]
-                return self._read_value_array(typ, count, val)
+                try:
+                    return self._read_value_array(typ, count, val)
+                except KeyError:   # unhandled TIFF value type
+                    return default
 
             desc = get(IMAGE_DESCRIPTION)
             if isinstance(desc, bytes):
@@ -464,9 +517,50 @@ class TiledTiffReader:
                 'rows_per_strip': (get(ROWS_PER_STRIP) or (None,))[0],
                 'jpeg_tables': get(JPEG_TABLES),
                 'description': desc,
+                'ndpi': NDPI_FORMAT_FLAG in tags,
+                'source_lens': (get(NDPI_SOURCE_LENS) or (None,))[0],
             }
             pages.append(page)
+        self._fix_ndpi_offsets(pages)
         return pages
+
+    def _fix_ndpi_offsets(self, pages):
+        """Hamamatsu .ndpi files are classic TIFF even past 4 GiB: strip
+        offsets are stored modulo 2**32. Image data is laid out in ascending
+        file order, so the true offsets are recovered by carrying the high
+        bits forward whenever a stored offset goes backwards (the same
+        monotonic reconstruction Bio-Formats/tifffile apply; reference reads
+        .ndpi via Bio-Formats, util/__init__.py:559-617)."""
+        if self.big or not any(p['ndpi'] for p in pages):
+            return
+        import os
+        file_size = os.fstat(self.fh.fileno()).st_size
+        if file_size <= 0xFFFFFFFF:
+            return
+        prev = 0
+        for page in pages:
+            for key in ('offsets', 'strip_offsets'):
+                arr = page[key]
+                if not arr:
+                    continue
+                fixed = []
+                for off in arr:
+                    o64 = (prev & ~0xFFFFFFFF) | (off & 0xFFFFFFFF)
+                    if o64 < prev:
+                        o64 += 0x100000000
+                    fixed.append(o64)
+                    prev = o64
+                page[key] = tuple(fixed)
+
+    def get_magnification(self):
+        """Objective magnification: Hamamatsu SourceLens tag (65421; the
+        first positive value — macro/map pages store -1/-2), else the
+        ImageDescription heuristics in parse_magnification."""
+        for page in self.pages:
+            lens = page.get('source_lens')
+            if lens is not None and lens > 0:
+                return float(lens)
+        return parse_magnification(self.read_description())
 
     def read_description(self, level=0):
         return self.pages[level].get('description')

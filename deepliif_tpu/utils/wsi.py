@@ -55,12 +55,12 @@ class WSIReader:
     def get_magnification(self):
         """Objective magnification from slide metadata, or None."""
         from .tiff import parse_magnification
-        desc = None
         if self._tiled is not None:
-            desc = self._tiled.read_description()
-        elif self._img is not None:
-            desc = (self._img.tag_v2.get(270)
-                    if hasattr(self._img, 'tag_v2') else None)
+            if hasattr(self._tiled, 'get_magnification'):
+                return self._tiled.get_magnification()  # NDPI SourceLens etc.
+            return parse_magnification(self._tiled.read_description())
+        desc = (self._img.tag_v2.get(270)
+                if hasattr(self._img, 'tag_v2') else None)
         return parse_magnification(desc)
 
     def read_region(self, x, y, w, h):

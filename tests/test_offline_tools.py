@@ -97,6 +97,20 @@ def test_bcdata_points_npy_fallback(tmp_path):
     assert mask.sum() == 2 * 255
 
 
+def test_bcdata_points_native_h5(tmp_path):
+    """The primary BCData path: real .h5 annotation files (reference
+    HelperFunctions.py:51-66 reads f['coordinates'] via h5py)."""
+    h5py = pytest.importorskip('h5py')
+    from deepliif_tpu.stats.adapters import read_bcdata_points
+    with h5py.File(tmp_path / 'pos.h5', 'w') as f:
+        f.create_dataset('coordinates', data=np.array([[5, 7], [9, 11]]))
+    with h5py.File(tmp_path / 'neg.h5', 'w') as f:
+        f.create_dataset('coordinates', data=np.array([[1, 2]]))
+    pos, neg = read_bcdata_points(str(tmp_path / 'pos.h5'),
+                                  str(tmp_path / 'neg.h5'))
+    assert pos == [(5, 7), (9, 11)] and neg == [(1, 2)]
+
+
 def test_nuclick_mask_reader(tmp_path):
     from deepliif_tpu.stats.adapters import read_nuclick_mask
     lab = np.zeros((32, 32), np.int32)

@@ -195,3 +195,155 @@ def test_strip_organized_tiff_reads(tmp_path):
     region = r.read_region(30, 40, 100, 90)
     np.testing.assert_array_equal(region, canvas[40:130, 30:130])
     r.close()
+
+
+# ---------------------------------------------------------------------------
+# Hamamatsu .ndpi specifics (round 3): SourceLens tag, >4 GiB offset wrap,
+# zeroed-SOF JPEG strips (reference reads .ndpi via Bio-Formats,
+# util/__init__.py:559-617)
+# ---------------------------------------------------------------------------
+
+def _write_ndpi(path, canvas, rows_per_strip, source_lens=20.0,
+                strip_positions=None, jpeg=False, zero_sof=False):
+    """Classic (32-bit) TIFF with NDPI marker tags and strip-organized RGB
+    data. ``strip_positions`` places strip payloads at explicit file offsets
+    (sparse-seek) while storing them modulo 2**32, as real >4 GiB .ndpi
+    files do."""
+    import io
+    import struct
+
+    h, w, _ = canvas.shape
+    rps = rows_per_strip
+    n = (h + rps - 1) // rps
+    assert n >= 2, 'fixture keeps offset/count arrays out-of-line'
+    strips = []
+    for s in range(n):
+        block = np.ascontiguousarray(canvas[s * rps:(s + 1) * rps])
+        if jpeg:
+            buf = io.BytesIO()
+            Image.fromarray(block).save(buf, 'JPEG', quality=95)
+            data = bytearray(buf.getvalue())
+            if zero_sof:
+                i = 2
+                while i + 4 <= len(data):
+                    marker = data[i + 1]
+                    seg_len = struct.unpack('>H', bytes(data[i + 2:i + 4]))[0]
+                    if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8,
+                                                                 0xCC):
+                        data[i + 5:i + 9] = b'\x00\x00\x00\x00'
+                        break
+                    i += 2 + seg_len
+            data = bytes(data)
+        else:
+            data = block.tobytes()
+        strips.append(data)
+
+    entries = []  # (tag, type, count, 4-byte raw value field)
+
+    def e(tag, typ, count, raw4):
+        entries.append((tag, typ, count, raw4.ljust(4, b'\x00')))
+
+    ifd_size = 2 + 12 * 12 + 4   # 12 entries
+    bps_off = 8 + ifd_size
+    so_off = bps_off + 6
+    sc_off = so_off + 4 * n
+    data_start = sc_off + 4 * n
+    if strip_positions is None:
+        strip_positions, pos = [], data_start
+        for d in strips:
+            strip_positions.append(pos)
+            pos += len(d)
+    stored_offsets = [p & 0xFFFFFFFF for p in strip_positions]
+
+    u16 = lambda v: struct.pack('<H', v)
+    u32 = lambda v: struct.pack('<I', v)
+    e(256, 4, 1, u32(w))
+    e(257, 4, 1, u32(h))
+    e(258, 3, 3, u32(bps_off))
+    e(259, 3, 1, u16(7 if jpeg else 1))
+    e(262, 3, 1, u16(6 if jpeg else 2))
+    e(273, 4, n, u32(so_off))
+    e(277, 3, 1, u16(3))
+    e(278, 4, 1, u32(rps))
+    e(279, 4, n, u32(sc_off))
+    e(284, 3, 1, u16(1))
+    e(65420, 4, 1, u32(1))
+    e(65421, 11, 1, struct.pack('<f', source_lens))
+    entries.sort()
+    assert len(entries) == 12
+
+    with open(path, 'wb') as fh:
+        fh.write(struct.pack('<2sHI', b'II', 42, 8))
+        fh.write(struct.pack('<H', len(entries)))
+        for tag, typ, count, raw in entries:
+            fh.write(struct.pack('<HHI', tag, typ, count) + raw)
+        fh.write(struct.pack('<I', 0))
+        fh.write(struct.pack('<3H', 8, 8, 8))
+        fh.write(struct.pack(f'<{n}I', *stored_offsets))
+        fh.write(struct.pack(f'<{n}I', *[len(d) for d in strips]))
+        for posn, data in zip(strip_positions, strips):
+            fh.seek(posn)
+            fh.write(data)
+    return path
+
+
+def test_ndpi_source_lens_magnification(tmp_path):
+    rng = np.random.default_rng(2)
+    canvas = rng.integers(0, 255, (96, 120, 3), np.uint8)
+    p = str(tmp_path / 'slide.ndpi')
+    _write_ndpi(p, canvas, rows_per_strip=64, source_lens=40.0)
+    reader = WSIReader(p)
+    assert reader.get_magnification() == 40.0
+    np.testing.assert_array_equal(reader.read_region(10, 20, 60, 50),
+                                  canvas[20:70, 10:70])
+    reader.close()
+
+
+def test_ndpi_macro_lens_skipped(tmp_path):
+    """SourceLens -1/-2 mark macro/map images and must not be reported as
+    the objective power; fall through to description parsing (none here)."""
+    rng = np.random.default_rng(3)
+    canvas = rng.integers(0, 255, (64, 64, 3), np.uint8)
+    p = str(tmp_path / 'macro.ndpi')
+    _write_ndpi(p, canvas, rows_per_strip=32, source_lens=-1.0)
+    reader = WSIReader(p)
+    assert reader.get_magnification() is None
+    reader.close()
+
+
+def test_ndpi_offsets_beyond_4gib(tmp_path):
+    """>4 GiB .ndpi: strip offsets stored modulo 2**32 are reconstructed by
+    monotonic carry. The fixture sparse-seeks the last strip past 4 GiB."""
+    rng = np.random.default_rng(4)
+    canvas = rng.integers(0, 255, (96, 100, 3), np.uint8)
+    p = str(tmp_path / 'big.ndpi')
+    # strip 0 in the low file, strip 1 above 4 GiB with a wrapped offset
+    _write_ndpi(p, canvas, rows_per_strip=64,
+                strip_positions=[4096, 0x100000000 + 64])
+    assert os.path.getsize(p) > 0xFFFFFFFF
+    r = TiledTiffReader(p)
+    assert r.pages[0]['strip_offsets'] == (4096, 0x100000000 + 64)
+    np.testing.assert_array_equal(r.read_region(0, 0, 100, 96), canvas)
+    r.close()
+
+
+def test_ndpi_zeroed_sof_jpeg_strips(tmp_path):
+    """JPEG strips whose SOF dimensions are zeroed (the .ndpi >65535-px
+    idiom) decode using the dimensions from the TIFF tags."""
+    from deepliif_tpu.utils.tiff import patch_jpeg_sof
+    rng = np.random.default_rng(5)
+    base = rng.integers(60, 200, (4, 5, 3), np.uint8)
+    canvas = np.asarray(Image.fromarray(base).resize((160, 128),
+                                                     Image.BILINEAR))
+    p = str(tmp_path / 'wide.ndpi')
+    _write_ndpi(p, canvas, rows_per_strip=64, jpeg=True, zero_sof=True)
+    r = TiledTiffReader(p)
+    region = r.read_region(0, 0, 160, 128)
+    err = np.abs(region.astype(int) - canvas.astype(int)).mean()
+    assert err < 6.0, err
+    r.close()
+    # the patcher is a no-op on streams with valid dimensions
+    import io
+    buf = io.BytesIO()
+    Image.fromarray(canvas).save(buf, 'JPEG')
+    assert patch_jpeg_sof(buf.getvalue(), 128, 160) == buf.getvalue()
