@@ -36,6 +36,11 @@ class WSIReader:
         self.path = path
         self._tiled = None
         self._img = None
+        if path.lower().endswith('.czi'):
+            from .czi import CziReader
+            self._tiled = CziReader(path)
+            self.size = self._tiled.size
+            return
         if path.lower().endswith(('.tif', '.tiff', '.svs', '.ndpi')):
             try:
                 from .tiff import TiledTiffReader
