@@ -582,7 +582,7 @@ def _d2h_bandwidth_mbps():
         return 0.0
 
 
-def _resolve_device_quant(device_quant, seg_device, seg_image):
+def _resolve_device_quant(device_quant, seg_device):
     """The 'auto' crossover rule (round-3 VERDICT item 3): use the device
     quantifier only when (a) the seg canvas is already device-resident
     (fused stitch path — no upload), (b) the canvas is large enough that
@@ -614,8 +614,7 @@ def postprocess(orig, images, tile_size, model, seg_thresh=120,
     from PIL import Image
     from .. import postprocessing as pp
 
-    device_quant = _resolve_device_quant(device_quant, seg_device,
-                                         images.get('Seg'))
+    device_quant = _resolve_device_quant(device_quant, seg_device)
 
     if model in ('DeepLIIF', 'DeepLIIFKD'):
         resolution = '40x' if tile_size > 384 else ('20x' if tile_size > 192 else '10x')

@@ -93,6 +93,11 @@ def label_components(fg, conn8=True, max_iters=None, sweeps_per_jump=32,
         if w % n_dev != 0:
             raise ValueError(f'canvas width {w} not divisible by mesh '
                              f'size {n_dev}; pad first')
+        if w // n_dev < sweeps_per_jump:
+            raise ValueError(
+                f'per-device shard width {w // n_dev} < halo '
+                f'{sweeps_per_jump} (sweeps_per_jump); use fewer devices, '
+                'a wider canvas, or smaller sweeps_per_jump')
         fg_i = fg.astype(jnp.int32)
         K = sweeps_per_jump
 

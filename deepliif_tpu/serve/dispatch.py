@@ -44,6 +44,9 @@ class DispatchSession:
     def __init__(self, session):
         self._session = session
         self._q = queue.Queue()
+        # serializes ALL wrapped-session calls — the dispatcher loop and the
+        # bypass path below — so InferenceSession's jit cache never races
+        self._device_lock = threading.Lock()
         self.stats = {'device_calls': 0, 'coalesced_calls': 0,
                       'max_requests_per_call': 1}
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -74,11 +77,13 @@ class DispatchSession:
                   mod_only=False, return_intermediate=False, device_keys=()):
         if device_keys or return_intermediate:
             # device-kept outputs / intermediates: per-request device call
-            # (outputs cannot be split cheaply after a device-side stitch)
-            return self._session.run_tiles(
-                tiles_u8, seg_weights=seg_weights, seg_only=seg_only,
-                mod_only=mod_only, return_intermediate=return_intermediate,
-                device_keys=device_keys)
+            # (outputs cannot be split cheaply after a device-side stitch),
+            # still serialized against the dispatcher thread
+            with self._device_lock:
+                return self._session.run_tiles(
+                    tiles_u8, seg_weights=seg_weights, seg_only=seg_only,
+                    mod_only=mod_only, return_intermediate=return_intermediate,
+                    device_keys=device_keys)
         kwargs = {
             'seg_weights': tuple(seg_weights) if seg_weights is not None else None,
             'seg_only': bool(seg_only),
@@ -123,10 +128,11 @@ class DispatchSession:
                 tiles = (first.tiles if len(group) == 1 else
                          np.concatenate([g.tiles for g in group]))
                 sw = first.kwargs['seg_weights']
-                out = self._session.run_tiles(
-                    tiles, seg_weights=list(sw) if sw is not None else None,
-                    seg_only=first.kwargs['seg_only'],
-                    mod_only=first.kwargs['mod_only'])
+                with self._device_lock:
+                    out = self._session.run_tiles(
+                        tiles, seg_weights=list(sw) if sw is not None else None,
+                        seg_only=first.kwargs['seg_only'],
+                        mod_only=first.kwargs['mod_only'])
                 self.stats['device_calls'] += 1
                 if len(group) > 1:
                     self.stats['coalesced_calls'] += 1

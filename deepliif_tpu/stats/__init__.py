@@ -256,9 +256,18 @@ def default_features_fn():
     fixed-seed VGG19 embedding (mean-pooled slice-5 features): relative
     comparisons only."""
     import os
-    cand = os.environ.get('DEEPLIIF_INCEPTION_NPZ', 'inception_v3.npz')
-    if cand and os.path.exists(cand):
-        return inception_features_fn(cand)
+    explicit = os.environ.get('DEEPLIIF_INCEPTION_NPZ')
+    if explicit:
+        if not os.path.exists(explicit):
+            # never silently fall back to the VGG embedding (a different
+            # numeric scale) when the user asked for Inception
+            raise FileNotFoundError(
+                f'DEEPLIIF_INCEPTION_NPZ={explicit} does not exist '
+                '(see scripts/download_inception_weights.sh)')
+        return inception_features_fn(explicit)
+    if os.path.exists('inception_v3.npz'):
+        print('FID/IS embedding: Inception-V3 (./inception_v3.npz)')
+        return inception_features_fn('inception_v3.npz')
     import jax
     import jax.numpy as jnp
     from ..nets import vgg

@@ -112,8 +112,11 @@ def patch_jpeg_sof(stream, h, w):
     with 0 in the SOF frame header; the true strip dimensions live in the
     TIFF tags (Bio-Formats applies the same fix when the reference reads
     .ndpi, util/__init__.py:559-617). Returns the stream with the SOF
-    height/width replaced by (h, w) when they are zero."""
-    if h > 0xFFFF or w > 0xFFFF or stream[:2] != b'\xff\xd8':
+    height/width replaced by (h, w) when they are zero. Raises when a
+    zeroed dimension cannot be patched because the true extent exceeds the
+    16-bit SOF field (such strips need restart-marker splitting, which no
+    codec here performs)."""
+    if stream[:2] != b'\xff\xd8':
         return stream
     i = 2
     n = len(stream)
@@ -129,6 +132,11 @@ def patch_jpeg_sof(stream, h, w):
             # SOF frame header: [len][precision][height u16][width u16]...
             dh, dw = struct.unpack('>HH', stream[i + 5:i + 9])
             if dh == 0 or dw == 0:
+                if (dh == 0 and h > 0xFFFF) or (dw == 0 and w > 0xFFFF):
+                    raise ValueError(
+                        f'NDPI JPEG strip of {w}x{h} px exceeds the 65535 '
+                        'JPEG dimension limit (restart-marker-split strips '
+                        'are unsupported; rescan or convert the slide)')
                 return (stream[:i + 5] + struct.pack('>HH', dh or h, dw or w)
                         + stream[i + 9:])
             return stream

@@ -101,6 +101,19 @@ class WSIReader:
             self._img.close()
 
 
+def _region_producer(reader, coords, q):
+    """Region-prefetch worker: feeds ((x, y, w, h), pixels) items into
+    ``q``, then a None sentinel. A failure past WSIReader's salvage chain
+    (e.g. MemoryError on a 20000px region) is forwarded as ('error', exc)
+    so the consumer re-raises instead of blocking on q.get() forever."""
+    try:
+        for c in coords:
+            q.put((c, reader.read_region(*c)))
+        q.put(None)
+    except BaseException as e:
+        q.put(('error', e))
+
+
 def get_wsi_resolution(path_or_mag, tile_size_base=512):
     """Magnification -> tile size = round(mag/40 * 512) (reference
     models/__init__.py:730-782). Accepts a numeric magnification OR a slide
@@ -160,18 +173,15 @@ def infer_results_for_wsi(input_dir, filename, output_dir, model_dir,
               for ry in range(0, size_y, region_size)
               for rx in range(0, size_x, region_size)]
     q = queue.Queue(maxsize=2)
-
-    def _producer():
-        for c in coords:
-            q.put((c, reader.read_region(*c)))
-        q.put(None)
-
-    threading.Thread(target=_producer, daemon=True).start()
+    threading.Thread(target=_region_producer, args=(reader, coords, q),
+                     daemon=True).start()
 
     while True:
         item = q.get()
         if item is None:
             break
+        if item[0] == 'error':
+            raise item[1]
         (rx, ry, rw, rh), region = item
         img = Image.fromarray(region)
         images, scoring = infer_modalities(img, tile_size, model_dir,
@@ -229,18 +239,15 @@ def infer_cells_for_wsi(input_dir, filename, output_dir, model_dir, tile_size,
               for ry in range(0, size_y, region_size)
               for rx in range(0, size_x, region_size)]
     q = queue.Queue(maxsize=2)
-
-    def _producer():
-        for c in coords:
-            q.put((c, reader.read_region(*c)))
-        q.put(None)
-
-    threading.Thread(target=_producer, daemon=True).start()
+    threading.Thread(target=_region_producer, args=(reader, coords, q),
+                     daemon=True).start()
 
     while True:
         item = q.get()
         if item is None:
             break
+        if item[0] == 'error':
+            raise item[1]
         (rx, ry, rw, rh), region = item
         img = Image.fromarray(region)
         images, _ = infer_modalities(img, tile_size, model_dir,

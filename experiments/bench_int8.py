@@ -21,7 +21,7 @@ WARMUP = 2
 ITERS = 6
 
 
-def bench(quant, batch):
+def bench(quant, batch, min_ch=16):
     from deepliif_tpu.models import deepliif as dl
     from deepliif_tpu.nets import layers as L
 
@@ -29,7 +29,7 @@ def bench(quant, batch):
     params = dl.init_params(jax.random.PRNGKey(0), d, with_discriminators=False)
     params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
     if quant:
-        params = L.quantize_conv_tree_int8(params)
+        params = L.quantize_conv_tree_int8(params, min_ch=min_ch)
 
     @jax.jit
     def fwd(params, x):
@@ -50,22 +50,23 @@ def bench(quant, batch):
 
 def main():
     out = {}
+
+    def run(key, quant, batch, min_ch=16):
+        try:
+            out[key] = round(bench(quant, batch, min_ch), 2)
+            print(key, out[key], 'tiles/s', flush=True)
+        except Exception as e:  # noqa: BLE001
+            out[key] = f'FAILED: {type(e).__name__}: {str(e)[:300]}'
+            print(out[key][:160], flush=True)
+
+    # every row of the docs/Performance.md int8 table, in one runnable place
     if os.environ.get('SKIP_BF16') != '1':
-        try:
-            out['bf16_b128'] = round(bench(False, 128), 2)
-            print('bf16 b128', out['bf16_b128'], 'tiles/s', flush=True)
-        except Exception as e:  # noqa: BLE001
-            out['bf16_b128'] = f'FAILED: {type(e).__name__}: {str(e)[:300]}'
-    for batch in (128, 64):
-        try:
-            tps = bench(True, batch)
-        except Exception as e:  # noqa: BLE001
-            out[f'int8_b{batch}'] = f'FAILED: {type(e).__name__}: {str(e)[:300]}'
-            print(out[f'int8_b{batch}'], flush=True)
-            continue
-        out[f'int8_b{batch}'] = round(tps, 2)
-        print(f'int8 b{batch}', round(tps, 2), 'tiles/s', flush=True)
-        break
+        run('bf16_b128', False, 128)
+        run('bf16_b32', False, 32)
+    run('int8_b32_minch16', True, 32, min_ch=16)     # interior convs
+    run('int8_b32_minch256', True, 32, min_ch=256)   # resblocks only
+    # larger int8 batches fail to compile on this rig — record the mode
+    run('int8_b64_minch16', True, 64, min_ch=16)
     path = os.path.join(os.path.dirname(__file__), 'bench_int8.json')
     with open(path, 'w') as f:
         json.dump({'tiles_per_sec': out}, f, indent=2)

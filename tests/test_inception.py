@@ -257,3 +257,12 @@ def test_fid_with_inception_features(torch_net):
     is_mean, is_std = stats.inception_score(
         a, classifier_fn=jinc.make_classifier_fn(params, batch=4), splits=2)
     assert is_mean >= 1.0
+
+
+def test_missing_env_weights_raise_not_fallback(monkeypatch, tmp_path):
+    """DEEPLIIF_INCEPTION_NPZ pointing at a missing file must raise — a
+    silent VGG fallback would report FID on a different numeric scale."""
+    from deepliif_tpu import stats
+    monkeypatch.setenv('DEEPLIIF_INCEPTION_NPZ', str(tmp_path / 'nope.npz'))
+    with pytest.raises(FileNotFoundError, match='DEEPLIIF_INCEPTION_NPZ'):
+        stats.default_features_fn()

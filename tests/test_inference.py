@@ -139,13 +139,13 @@ def test_device_quant_auto_crossover(model_dir, monkeypatch):
     big = jnp.zeros((1280, 1280, 3), jnp.uint8)
 
     monkeypatch.setattr(M, '_d2h_bandwidth_mbps', lambda: 5000.0)
-    assert M._resolve_device_quant('auto', None, None) is False
-    assert M._resolve_device_quant('auto', small, None) is False
-    assert M._resolve_device_quant('auto', big, None) is True
+    assert M._resolve_device_quant('auto', None) is False
+    assert M._resolve_device_quant('auto', small) is False
+    assert M._resolve_device_quant('auto', big) is True
     monkeypatch.setattr(M, '_d2h_bandwidth_mbps', lambda: 20.0)
-    assert M._resolve_device_quant('auto', big, None) is False
-    assert M._resolve_device_quant(True, None, None) is True
-    assert M._resolve_device_quant(False, big, None) is False
+    assert M._resolve_device_quant('auto', big) is False
+    assert M._resolve_device_quant(True, None) is True
+    assert M._resolve_device_quant(False, big) is False
 
     # e2e through infer_modalities with auto (host fallback on this canvas)
     from deepliif_tpu.models import infer_modalities

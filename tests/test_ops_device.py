@@ -309,3 +309,15 @@ def test_fused_device_seg_pipeline(tmp_path):
     for k in ('num_total', 'num_pos', 'num_neg', 'percent_pos'):
         assert host_scoring[k] == dev_scoring[k], (k, host_scoring,
                                                    dev_scoring)
+
+
+def test_mesh_sharded_labeling_rejects_thin_shards():
+    """Shard width below the halo would produce an opaque shard_map shape
+    error; the guard raises a clear ValueError instead."""
+    from deepliif_tpu import parallel
+    from deepliif_tpu.ops.labeling import label_components
+
+    mesh = parallel.get_mesh(8)
+    fg = jnp.zeros((16, 64), bool)  # shard width 8 < default halo 32
+    with pytest.raises(ValueError, match='shard width'):
+        label_components(fg, mesh=mesh)

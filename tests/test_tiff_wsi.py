@@ -347,3 +347,52 @@ def test_ndpi_zeroed_sof_jpeg_strips(tmp_path):
     buf = io.BytesIO()
     Image.fromarray(canvas).save(buf, 'JPEG')
     assert patch_jpeg_sof(buf.getvalue(), 128, 160) == buf.getvalue()
+
+
+def test_patch_jpeg_sof_oversized_dimension_raises(tmp_path):
+    """A zeroed SOF whose true extent exceeds 65535 cannot be patched —
+    clear error instead of black regions from a PIL decode failure."""
+    import io
+    from deepliif_tpu.utils.tiff import patch_jpeg_sof
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(buf, 'JPEG')
+    data = bytearray(buf.getvalue())
+    i = 2
+    while True:  # zero the SOF dims
+        marker = data[i + 1]
+        seg_len = int.from_bytes(data[i + 2:i + 4], 'big')
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            data[i + 5:i + 9] = b'\x00' * 4
+            break
+        i += 2 + seg_len
+    with pytest.raises(ValueError, match='65535'):
+        patch_jpeg_sof(bytes(data), 16, 70000)
+    # patchable when dimensions fit
+    fixed = patch_jpeg_sof(bytes(data), 16, 16)
+    assert np.asarray(Image.open(io.BytesIO(fixed))).shape[:2] == (16, 16)
+
+
+def test_wsi_region_producer_propagates_errors():
+    """A producer-thread failure must reach the consumer, not hang it
+    (round-3 review finding)."""
+    import queue
+    from deepliif_tpu.utils.wsi import _region_producer
+
+    class Bad:
+        def read_region(self, *a):
+            raise MemoryError('region allocation failed')
+
+    q = queue.Queue()
+    _region_producer(Bad(), [(0, 0, 4, 4)], q)
+    item = q.get_nowait()
+    assert item[0] == 'error' and isinstance(item[1], MemoryError)
+
+    class Good:
+        def read_region(self, x, y, w, h):
+            return np.zeros((h, w, 3), np.uint8)
+
+    q2 = queue.Queue()
+    _region_producer(Good(), [(0, 0, 4, 4), (4, 0, 4, 4)], q2)
+    assert q2.get_nowait()[0] == (0, 0, 4, 4)
+    assert q2.get_nowait()[0] == (4, 0, 4, 4)
+    assert q2.get_nowait() is None
