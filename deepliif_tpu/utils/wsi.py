@@ -36,6 +36,11 @@ class WSIReader:
         self.path = path
         self._tiled = None
         self._img = None
+        if path.lower().endswith('.mrxs'):
+            raise ValueError(
+                '3DHISTECH .mrxs slides are not supported natively '
+                '(multi-file MIRAX container); convert to a TIFF-family '
+                'format first — supported: .tif/.tiff/.svs/.ndpi/.czi')
         if path.lower().endswith('.czi'):
             from .czi import CziReader
             self._tiled = CziReader(path)
