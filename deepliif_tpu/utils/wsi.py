@@ -37,10 +37,10 @@ class WSIReader:
         self._tiled = None
         self._img = None
         if path.lower().endswith('.mrxs'):
-            raise ValueError(
-                '3DHISTECH .mrxs slides are not supported natively '
-                '(multi-file MIRAX container); convert to a TIFF-family '
-                'format first — supported: .tif/.tiff/.svs/.ndpi/.czi')
+            from .mirax import MiraxReader
+            self._tiled = MiraxReader(path)
+            self.size = self._tiled.size
+            return
         if path.lower().endswith('.czi'):
             from .czi import CziReader
             self._tiled = CziReader(path)
