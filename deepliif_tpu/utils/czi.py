@@ -15,10 +15,11 @@ a JVM:
     every scene and mosaic tile) pasted into the origin-normalized scene
     bounding box — region reads decode only intersecting blocks, so
     memory stays bounded by the region size like the TIFF fast path;
-  * pixel formats Gray8 and Bgr24 (returned as RGB), uncompressed or
-    per-block JPEG. JPEG-XR- and zstd-compressed subblocks raise a clear
-    error: no codec exists in this environment (the same class of gap as
-    the Bio-Formats-only formats documented in docs/Migrating-from-
+  * pixel formats Gray8 and Bgr24 (returned as RGB), uncompressed,
+    per-block JPEG, or zstd (zstd0 raw streams and zstd1 sized-header
+    payloads). JPEG-XR-compressed subblocks raise a clear error: no
+    codec exists in this environment (the same class of gap as the
+    Bio-Formats-only formats documented in docs/Migrating-from-
     DeepLIIF.md).
 
 Validated against synthetic mosaics written by tests/czi_fixture.py,
@@ -83,6 +84,31 @@ def parse_dir_entry(buf, off):
         off += DIM_ENTRY.size
     return SubBlock(pixel_type, file_pos, compression, pyramid_type,
                     dims), off
+
+
+def _zstd_subblock(data, comp, max_size):
+    """Decompress a zstd0/zstd1 CZI subblock payload to raw pixel bytes.
+
+    zstd1 (compression 6) prepends a sized header: byte 0 is the header
+    length (counting itself); a 3-byte header carries the hi-lo
+    byte-packing parameter chunk (id 1, enabled flag) — packing splits
+    16-bit samples into low/high planes before compression and is only
+    defined for 16-bit pixel types, which this reader does not expose."""
+    try:
+        import zstandard
+    except ImportError as e:
+        raise ValueError('zstd-compressed CZI subblock but no zstandard '
+                         'codec in this environment') from e
+    if comp == 6:
+        n = data[0]
+        if n < 1 or n > len(data):
+            raise ValueError('corrupt zstd1 CZI subblock header')
+        if n >= 3 and data[1] == 1 and data[2] == 1:
+            raise ValueError('zstd1 hi-lo byte packing is only defined for '
+                             '16-bit pixel types (unsupported here)')
+        data = data[n:]
+    return zstandard.ZstdDecompressor().decompress(bytes(data),
+                                                   max_output_size=max_size)
 
 
 class CziReader:
@@ -163,11 +189,14 @@ class CziReader:
             full[:min(sh, out.shape[0]), :min(sw, out.shape[1])] = \
                 out[:sh, :sw]
             return full
-        if comp != 0:
+        if comp in (5, 6):  # zstd0 / zstd1
+            n_bytes = sh * sw * (3 if block.pixel_type == PIXEL_BGR24 else 1)
+            data = _zstd_subblock(data, comp, n_bytes)
+        elif comp != 0:
             name = COMPRESSION_NAMES.get(comp, str(comp))
             raise ValueError(
                 f'unsupported CZI subblock compression {name!r}: no codec '
-                'in this environment (supported: uncompressed, jpeg)')
+                'in this environment (supported: uncompressed, jpeg, zstd)')
         if block.pixel_type == PIXEL_BGR24:
             arr = np.frombuffer(data, np.uint8)[:sh * sw * 3]
             return arr.reshape(sh, sw, 3)[:, :, ::-1]

@@ -64,10 +64,17 @@ def write_czi(path, blocks, metadata_xml=None):
                 buf = io.BytesIO()
                 Image.fromarray(data).save(buf, 'JPEG', quality=95)
                 payload_data = buf.getvalue()
-            elif data.ndim == 3:
-                payload_data = data[:, :, ::-1].tobytes()  # RGB -> BGR
             else:
-                payload_data = data.tobytes()
+                raw = (data[:, :, ::-1] if data.ndim == 3  # RGB -> BGR
+                       else data).tobytes()
+                if comp in (5, 6):
+                    import zstandard
+                    payload_data = zstandard.ZstdCompressor().compress(raw)
+                    if comp == 6:  # zstd1 sized header, hi-lo disabled
+                        payload_data = blk.get(
+                            'zstd1_header', b'\x03\x01\x00') + payload_data
+                else:
+                    payload_data = raw
             dims = {'X': (blk['x'], logical_w, w),
                     'Y': (blk['y'], logical_h, h)}
             dims.update(blk.get('dims', {}))

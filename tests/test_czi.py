@@ -99,13 +99,51 @@ def test_jpeg_compressed_blocks(tmp_path):
     r.close()
 
 
+def test_zstd_compressed_blocks_roundtrip(tmp_path):
+    """zstd0 (raw stream) and zstd1 (sized header) subblocks decode
+    byte-exactly via the zstandard codec."""
+    pytest.importorskip('zstandard')
+    rng = np.random.default_rng(6)
+    canvas = _mosaic_canvas(rng, 128, 160)
+    for comp in (5, 6):
+        p = str(tmp_path / f'zstd{comp}.czi')
+        write_czi(p, _mosaic_blocks(canvas, 64, 80, compression=comp))
+        r = CziReader(p)
+        np.testing.assert_array_equal(r.read_region(0, 0, 160, 128), canvas)
+        np.testing.assert_array_equal(r.read_region(70, 50, 60, 40),
+                                      canvas[50:90, 70:130])
+        r.close()
+    # 1-byte zstd1 header (no parameter chunk) is also legal
+    p = str(tmp_path / 'zstd1_short.czi')
+    write_czi(p, [dict(data=canvas, x=0, y=0, compression=6,
+                       zstd1_header=b'\x01')])
+    r = CziReader(p)
+    np.testing.assert_array_equal(r.read_region(0, 0, 160, 128), canvas)
+    r.close()
+
+
+def test_zstd1_hilo_packing_raises(tmp_path):
+    """hi-lo byte packing is a 16-bit-pixel transform; an 8-bit subblock
+    carrying the enabled flag gets a clear error instead of bad pixels."""
+    pytest.importorskip('zstandard')
+    rng = np.random.default_rng(8)
+    canvas = _mosaic_canvas(rng, 32, 32)
+    p = str(tmp_path / 'hilo.czi')
+    write_czi(p, [dict(data=canvas, x=0, y=0, compression=6,
+                       zstd1_header=b'\x03\x01\x01')])
+    r = CziReader(p)
+    with pytest.raises(ValueError, match='hi-lo'):
+        r._block_pixels(r.blocks[0])
+    r.close()
+
+
 def test_unsupported_compression_raises(tmp_path):
     rng = np.random.default_rng(6)
     canvas = _mosaic_canvas(rng, 32, 32)
-    p = str(tmp_path / 'zstd.czi')
-    write_czi(p, [dict(data=canvas, x=0, y=0, compression=6)])
+    p = str(tmp_path / 'jxr.czi')
+    write_czi(p, [dict(data=canvas, x=0, y=0, compression=4)])  # jpeg-xr
     r = CziReader(p)
-    with pytest.raises(ValueError, match='zstd'):
+    with pytest.raises(ValueError, match='jpeg-xr'):
         r._block_pixels(r.blocks[0])
     r.close()
 
