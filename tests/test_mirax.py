@@ -125,6 +125,51 @@ def test_missing_container_dir_raises_clearly(tmp_path):
         WSIReader(path)
 
 
+def test_wsi_inference_end_to_end_on_mrxs(tmp_path):
+    """`test-wsi` over a .mrxs container: region streaming + stitching +
+    scoring run unchanged on the MIRAX reader (the format only changes
+    WSIReader's dispatch)."""
+    import json
+    import os
+    import jax
+    from deepliif_tpu.models import deepliif as dl
+    from deepliif_tpu.utils import checkpoints
+    from deepliif_tpu.utils.wsi import infer_results_for_wsi
+
+    md = tmp_path / 'model'
+    md.mkdir()
+    d = dl.DeepLIIFDef(modalities_no=2, net_g=('resnet_6blocks',) * 2,
+                       net_gs=('unet_32',) * 3, ngf=8, ndf=8,
+                       seg_weights=(0.4, 0.3, 0.3))
+    params = dl.init_params(jax.random.PRNGKey(7), d,
+                            with_discriminators=False)
+    checkpoints.save_networks(str(md), params)
+    with open(md / 'config.json', 'w') as f:
+        json.dump({'model': 'DeepLIIF', 'modalities_no': 2, 'seg_gen': True,
+                   'seg_no': 1, 'input_no': 1, 'netG': 'resnet_6blocks',
+                   'net_gs': 'unet_32', 'ngf': 8, 'ndf': 8, 'norm': 'batch',
+                   'no_dropout': False, 'padding': 'zero',
+                   'upsample': 'convtranspose', 'scale_size': 64,
+                   'seg_weights': [0.4, 0.3, 0.3],
+                   'modalities_names': ['IHC', 'A', 'B'],
+                   'background_colors': [(201, 211, 208), (10, 10, 10)]}, f)
+
+    _, tiles, positions = _mosaic()  # 120x120 slide
+    wsi_dir = tmp_path / 'wsi'
+    wsi_dir.mkdir()
+    write_mrxs(str(wsi_dir / 'slide.mrxs'), tiles, (2, 2), (32, 32),
+               divisions=2, overlap=(8, 8), positions=positions)
+
+    out = tmp_path / 'out'
+    scoring = infer_results_for_wsi(str(wsi_dir), 'slide.mrxs', str(out),
+                                    str(md), tile_size=64, region_size=128)
+    assert {'num_total', 'num_pos', 'num_neg', 'percent_pos'} <= set(scoring)
+    files = os.listdir(out)
+    assert any(f.startswith('slide_Seg') and f.endswith('.ome.tiff')
+               for f in files), files
+    assert 'slide.json' in files
+
+
 def test_wsi_resolution_from_mrxs_metadata(tmp_path):
     from deepliif_tpu.utils.wsi import get_wsi_resolution
     _, tiles, positions = _mosaic()
