@@ -120,14 +120,61 @@ class InferenceSession:
             max_batch = (128 if self.d.dtype is not None else 16) * self.n_devices
         self.max_batch = max_batch
         self.params = self._load_params(model_dir)
+        self.act_scales = None
         if getattr(self.d, 'quant_int8', False):
             # pre-quantize interior conv kernels once (per-output-channel
-            # int8 + scale); conv2d/conv_transpose2d auto-detect 'w_q'
+            # int8 + scale); conv2d/conv_transpose2d auto-detect 'w_q'.
+            # With calibrated activation scales (act_scales.json, written
+            # by calibrate_int8) quantization is STATIC — a pure
+            # elementwise op XLA fuses into the producer — instead of the
+            # dynamic per-sample max-abs that forces materialization.
             from ..nets import layers as _L
-            self.params = _L.quantize_conv_tree_int8(self.params)
+            self.act_scales = self._load_act_scales(model_dir)
+            self.params = _L.quantize_conv_tree_int8(
+                self.params, act_scales=self.act_scales)
         if self.mesh is not None:
             self.params = parallel.replicate(self.mesh, self.params)
         self._jitted = {}
+
+    @staticmethod
+    def _load_act_scales(model_dir):
+        path = os.path.join(model_dir, 'act_scales.json')
+        if not os.path.exists(path):
+            return None
+        import json
+        with open(path) as f:
+            doc = json.load(f)
+        return {k: float(v) for k, v in doc.get('scales', doc).items()}
+
+    def calibrate_int8(self, tiles_u8, save=True):
+        """Calibrate static int8 activation scales on sample tiles
+        ((N, s, s, 3) uint8), re-quantize the params with them, and
+        persist ``act_scales.json`` next to the checkpoint so later
+        sessions skip calibration. DeepLIIF family only (the int8
+        flagship); runs the ensemble eagerly once per net."""
+        if not getattr(self.d, 'quant_int8', False):
+            raise ValueError('calibrate_int8 requires --precision int8')
+        if self.family != 'deepliif':
+            raise NotImplementedError(
+                'int8 calibration is implemented for the DeepLIIF family')
+        from .. import parallel
+        from ..nets import layers as _L
+        x = jnp.asarray(np.asarray(tiles_u8), jnp.float32) / 127.5 - 1.0
+        raw = self._load_params(self.model_dir)
+        self.act_scales = dl.calibrate_act_scales(raw, x, self.d)
+        self.params = _L.quantize_conv_tree_int8(
+            raw, act_scales=self.act_scales)
+        if self.mesh is not None:
+            self.params = parallel.replicate(self.mesh, self.params)
+        if save:
+            import json
+            try:
+                with open(os.path.join(self.model_dir,
+                                       'act_scales.json'), 'w') as f:
+                    json.dump({'scales': self.act_scales}, f, indent=1)
+            except OSError:
+                pass  # read-only model dir: calibration stays in-session
+        return self.act_scales
 
     def _init_like(self):
         if self.family == 'deepliif':
@@ -307,6 +354,14 @@ class InferenceSession:
             if device_keys:
                 return out, {k: jnp.asarray(out.pop(k)) for k in device_keys}
             return out
+
+        if (getattr(self.d, 'quant_int8', False) and self.act_scales is None
+                and self.family == 'deepliif'
+                and os.environ.get('DEEPLIIF_INT8_CALIBRATE', '1') != '0'):
+            # first real tiles seen by an uncalibrated int8 session: derive
+            # static activation scales from them (one eager ensemble pass),
+            # persisted to the model dir for every later session
+            self.calibrate_int8(tiles_u8[nonempty[:2]])
 
         x_all = tiles_u8[nonempty]  # normalization happens on device
         use_seg_only = (self.family == 'deepliif' and seg_only and seg_gen

@@ -300,6 +300,47 @@ def inference_forward(params, x, d: DeepLIIFDef, seg_weights=None,
     return out
 
 
+def calibrate_act_scales(params, x, d: DeepLIIFDef, min_ch=16, out=None):
+    """Per-conv activation max-abs over one normalized input batch, for
+    static int8 quantization (layers.quantize_conv_tree_int8 act_scales=).
+
+    Replays the inference dataflow EAGERLY one net at a time — the
+    calibration tap needs concrete values, and vmap/jit would trace — so
+    call it outside jit with a small batch. Returns {'G/...': max_abs,
+    'GS/...': ...} keyed exactly like the quantization walk; pass the same
+    ``out`` dict across batches to max-merge."""
+    from ..nets import layers as L
+
+    p = _maybe_spectral(params, d)
+    if d.dtype is not None:
+        x = x.astype(d.dtype)
+    scales = {} if out is None else out
+    mods = []
+    for i, arch in enumerate(d.net_g):
+        net = _g_net(d, arch)
+        if d.uniform_g:
+            p_i = jax.tree_util.tree_map(lambda a: a[i], p['G'])
+            prefix = ('G',)
+        else:
+            p_i, prefix = p['G'][i], ('G', str(i))
+        with L.act_calibration(p_i, prefix, scales, min_ch):
+            mods.append(net.apply(p_i, x))
+    if d.seg_gen:
+        mods_s = jnp.stack(mods)
+        seg_in = jnp.concatenate([x[None].astype(mods_s.dtype), mods_s],
+                                 axis=0)
+        for i, arch in enumerate(d.net_gs):
+            net = _gs_net(d, arch)
+            if d.uniform_gs:
+                p_i = jax.tree_util.tree_map(lambda a: a[i], p['GS'])
+                prefix = ('GS',)
+            else:
+                p_i, prefix = p['GS'][i], ('GS', str(i))
+            with L.act_calibration(p_i, prefix, scales, min_ch):
+                net.apply(p_i, seg_in[i])
+    return scales
+
+
 def fused_forward(params, x, d: DeepLIIFDef, seg_weights=None):
     """Grouped-convolution ensemble forward (inference): the N translators
     run as one feature-grouped program with (B,H,W,N*C) activations — full

@@ -88,8 +88,18 @@ def conv2d(x, p, stride=1, padding=0):
     rescaled in f32. Per-SAMPLE activation scales keep outputs independent
     of batch composition (the engine's batch-size-invariance contract)."""
     pad = [(padding, padding)] * 2 if isinstance(padding, int) else padding
-    if 'w_q' in p and _int8_spatial_ok(x):
-        q, s = _quant_act_int8(x)
+    if _ACT_CALIB is not None:
+        _ACT_CALIB.record(p, x)
+    if 'w_q' in p and _int8_ok(x, static='a_s' in p):
+        if 'a_s' in p:
+            # static (calibrated) activation scale: a pure elementwise
+            # quantize that XLA fuses into the producer — no max-abs
+            # reduction, so the activation never materializes above int8
+            s = p['a_s']
+            q = jnp.clip(jnp.round(x * (1.0 / s).astype(x.dtype)),
+                         -127, 127).astype(jnp.int8)
+        else:
+            q, s = _quant_act_int8(x)
         y = jax.lax.conv_general_dilated(
             q, p['w_q'], (stride, stride), pad, dimension_numbers=_DN,
             preferred_element_type=jnp.int32)
@@ -113,9 +123,20 @@ def conv2d(x, p, stride=1, padding=0):
 # only engages there; outer levels stay on the float path.
 _INT8_MAX_SPATIAL = 256 * 256
 
+# Static (calibrated) scales have no materialization hazard, so by default
+# every quantized conv may take the int8 path regardless of spatial size.
+_INT8_STATIC_MAX_SPATIAL = 1 << 62
+
+
+def _int8_ok(x, static=False):
+    if x.ndim != 4:
+        return False
+    limit = _INT8_STATIC_MAX_SPATIAL if static else _INT8_MAX_SPATIAL
+    return x.shape[1] * x.shape[2] <= limit
+
 
 def _int8_spatial_ok(x):
-    return x.ndim == 4 and x.shape[1] * x.shape[2] <= _INT8_MAX_SPATIAL
+    return _int8_ok(x)
 
 
 def _quant_act_int8(x):
@@ -149,24 +170,107 @@ def quantize_conv_int8(p):
     return out
 
 
-def quantize_conv_tree_int8(params, min_ch=16):
+_ACT_CALIB = None  # active act_calibration context (see below)
+
+
+def _quantizable_conv_paths(tree, prefix=(), min_ch=16):
+    """{id(conv param dict): 'a/b/c' path} over the convs the int8 tree
+    walk would quantize — the shared path vocabulary of calibration and
+    quantization."""
+    out = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if 'w' in node and hasattr(node['w'], 'ndim') \
+                    and node['w'].ndim in (4, 5):
+                cin, cout = node['w'].shape[-2], node['w'].shape[-1]
+                if cin >= min_ch and cout >= min_ch:
+                    out[id(node)] = '/'.join(path)
+                return
+            for k, v in node.items():
+                walk(v, path + (k,))
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(v, path + (str(i),))
+
+    walk(tree, tuple(prefix))
+    return out
+
+
+class act_calibration:
+    """Context manager recording per-conv INPUT max-abs during an EAGER
+    forward (conv2d/conv_transpose2d call ``record`` on entry).
+
+    ``tree`` is the (per-net, unstacked) param subtree the forward will
+    consume; recorded keys are its conv paths prefixed with ``prefix`` so
+    they line up with quantize_conv_tree_int8's walk over the full stacked
+    params. Results max-merge into ``out`` — run several batches/nets
+    under the same ``out`` to calibrate over all of them."""
+
+    def __init__(self, tree, prefix, out, min_ch=16):
+        self._paths = _quantizable_conv_paths(tree, prefix, min_ch)
+        self.out = out
+
+    def __enter__(self):
+        global _ACT_CALIB
+        self._prev = _ACT_CALIB
+        _ACT_CALIB = self
+        return self
+
+    def __exit__(self, *exc):
+        global _ACT_CALIB
+        _ACT_CALIB = self._prev
+        return False
+
+    def record(self, p, x):
+        path = self._paths.get(id(p))
+        if path is None:
+            return
+        if isinstance(x, jax.core.Tracer):
+            raise RuntimeError(
+                'activation calibration must run eagerly (no jit/vmap '
+                'around the calibrated forward)')
+        m = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+        self.out[path] = max(self.out.get(path, 0.0), m)
+
+
+def quantize_conv_tree_int8(params, min_ch=16, act_scales=None):
     """Walk a param pytree and int8-quantize every conv whose in/out channel
     counts are both >= min_ch (head convs fed by 3-channel images and
     3-channel tail convs stay in the float path: negligible compute, highest
     fidelity sensitivity). Works on stacked (vmapped-ensemble) kernels —
-    scales are per (net, out_channel)."""
-    def walk(node):
+    scales are per (net, out_channel).
+
+    ``act_scales`` switches activation quantization from dynamic per-sample
+    (a max-abs reduction that forces the activation to materialize) to
+    static calibrated scales (a pure elementwise quantize XLA fuses into
+    the producer): either one float applied everywhere, or a
+    {'/'.join(path): max_abs} dict from calibrate_act_scales — convs with
+    no entry keep dynamic quantization."""
+    def walk(node, path):
         if isinstance(node, dict):
             if 'w' in node and hasattr(node['w'], 'ndim') and node['w'].ndim in (4, 5):
                 cin, cout = node['w'].shape[-2], node['w'].shape[-1]
                 if cin >= min_ch and cout >= min_ch:
-                    return quantize_conv_int8(node)
+                    out = quantize_conv_int8(node)
+                    scale = (act_scales if isinstance(act_scales, (int, float))
+                             else (act_scales or {}).get('/'.join(path)))
+                    if scale is not None:
+                        val = max(float(scale), 1e-12) / 127.0
+                        # stacked (vmapped-ensemble) kernels need the
+                        # net-stack axis on every leaf vmap maps over
+                        out['a_s'] = (jnp.full((node['w'].shape[0],), val,
+                                               jnp.float32)
+                                      if node['w'].ndim == 5
+                                      else jnp.float32(val))
+                    return out
                 return node
-            return {k: walk(v) for k, v in node.items()}
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
         if isinstance(node, (list, tuple)):
-            return type(node)(walk(v) for v in node)
+            return type(node)(walk(v, path + (str(i),))
+                              for i, v in enumerate(node))
         return node
-    return walk(params)
+    return walk(params, ())
 
 
 def conv2d_s2d(x_padded, p, k=7, block=8):
@@ -304,8 +408,15 @@ def conv_transpose2d(x, p, stride=2, padding=1, output_padding=1):
     k = p['w'].shape[0]
     lo = k - 1 - padding
     hi = k - 1 - padding + output_padding
-    if 'w_q' in p and _int8_spatial_ok(x):
-        q, s = _quant_act_int8(x)
+    if _ACT_CALIB is not None:
+        _ACT_CALIB.record(p, x)
+    if 'w_q' in p and _int8_ok(x, static='a_s' in p):
+        if 'a_s' in p:
+            s = p['a_s']
+            q = jnp.clip(jnp.round(x * (1.0 / s).astype(x.dtype)),
+                         -127, 127).astype(jnp.int8)
+        else:
+            q, s = _quant_act_int8(x)
         y = jax.lax.conv_general_dilated(
             q, p['w_q'], (1, 1), [(lo, hi), (lo, hi)],
             lhs_dilation=(stride, stride), dimension_numbers=_DN,

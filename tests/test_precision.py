@@ -115,12 +115,14 @@ def test_conv2d_int8_close_to_f32():
 # engine-level fidelity on a real tile
 # ---------------------------------------------------------------------------
 
-def test_int8_session_fidelity_vs_f32(model_dir):
+def test_int8_session_fidelity_vs_f32(model_dir, monkeypatch):
+    monkeypatch.setenv('DEEPLIIF_INT8_CALIBRATE', '0')  # dynamic-quant path
     tiles = _real_tiles()
     f32 = InferenceSession(model_dir, n_devices=1).run_tiles(tiles)
     s8 = InferenceSession(model_dir, n_devices=1, precision='int8')
     assert s8.d.quant_int8 and s8.d.dtype == jnp.bfloat16
     out8 = s8.run_tiles(tiles)
+    assert s8.act_scales is None  # calibration disabled -> stayed dynamic
     assert set(out8) == set(f32)
     for k in f32:
         s = min(_ssim(out8[k][i], f32[k][i]) for i in range(len(tiles)))
@@ -130,6 +132,38 @@ def test_int8_session_fidelity_vs_f32(model_dir):
     single = s8.run_tiles(tiles[:1])
     for k in out8:
         np.testing.assert_array_equal(out8[k][0], single[k][0])
+
+
+def test_int8_static_calibration_session(model_dir, tmp_path):
+    """The default int8 path: the first run_tiles auto-calibrates static
+    activation scales (no per-sample max-abs reduction — the round-3
+    materialization hazard), persists act_scales.json, and later sessions
+    reuse it byte-identically."""
+    import shutil
+    md = str(tmp_path / 'md')
+    shutil.copytree(model_dir, md)
+    tiles = _real_tiles()
+    f32 = InferenceSession(model_dir, n_devices=1).run_tiles(tiles)
+
+    s8 = InferenceSession(md, n_devices=1, precision='int8')
+    out8 = s8.run_tiles(tiles)  # auto-calibrates on these tiles
+    assert s8.act_scales and all(v > 0 for v in s8.act_scales.values())
+    assert os.path.exists(os.path.join(md, 'act_scales.json'))
+    for k in f32:
+        s = min(_ssim(out8[k][i], f32[k][i]) for i in range(len(tiles)))
+        assert s > 0.95, (k, s)
+    # static scales make outputs trivially batch-composition invariant
+    single = s8.run_tiles(tiles[:1])
+    for k in out8:
+        np.testing.assert_array_equal(out8[k][0], single[k][0])
+
+    # a fresh session loads the persisted scales: no recalibration, outputs
+    # byte-equal to the calibrating run
+    s8b = InferenceSession(md, n_devices=1, precision='int8')
+    assert s8b.act_scales == pytest.approx(s8.act_scales)
+    out8b = s8b.run_tiles(tiles)
+    for k in out8:
+        np.testing.assert_array_equal(out8[k], out8b[k])
 
 
 def test_bf16_session_fidelity_vs_f32(model_dir):
