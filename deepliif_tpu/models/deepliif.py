@@ -207,7 +207,8 @@ def _translators_fused(x, d: DeepLIIFDef):
     return (d.allow_fused and not d.quant_int8
             and d.net_g[0].startswith('resnet_')
             and resnet.fused_applicable(x.shape[1], x.shape[2], d.ngf,
-                                        d.norm, d.padding_type))
+                                        d.norm, d.padding_type,
+                                        dtype=x.dtype))
 
 
 def _run_translators(params_g, x, d: DeepLIIFDef, net):

@@ -77,15 +77,22 @@ def _fused_ok(x, norm, padding_type, train, use_dropout):
         return False
     if flag == '1':
         return True
+    # bf16 only on hardware: the kernel's scoped-VMEM stack is ~14.7 MB at
+    # bf16 (just under Mosaic's 16 MB limit) and ~29.5 MB at f32, which
+    # fails to compile — f32 inference takes the XLA path instead
+    # (ops/fused_resblock.py in_specs note; measured on v5e, round 3)
+    if getattr(x, 'dtype', None) != jnp.bfloat16:
+        return False
     return jax.default_backend() == 'tpu'
 
 
-def fused_applicable(h, w, ngf, norm, padding_type, train=False):
-    """Would the fused resblock path engage for an (h, w) input? Callers use
-    this to UNROLL over ensemble members instead of vmapping (Mosaic cannot
-    lower a vmapped ANY-space pallas_call)."""
-    import numpy as np
-    probe = np.zeros((1, h // 4, w // 4, ngf * 4), np.float32)
+def fused_applicable(h, w, ngf, norm, padding_type, train=False,
+                     dtype=None):
+    """Would the fused resblock path engage for an (h, w) input of compute
+    ``dtype``? Callers use this to UNROLL over ensemble members instead of
+    vmapping (Mosaic cannot lower a vmapped ANY-space pallas_call)."""
+    probe = jax.ShapeDtypeStruct((1, h // 4, w // 4, ngf * 4),
+                                 dtype or jnp.float32)
     return _fused_ok(probe, norm, padding_type, train, True)
 
 

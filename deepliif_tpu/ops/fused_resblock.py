@@ -166,7 +166,14 @@ def conv3x3_stats(x, w, *, padding='reflect', in_scale=None, in_bias=None,
                          memory_space=pltpu.VMEM),      # in_scale
             pl.BlockSpec((s_n, c), lambda s, r: (0, 0),
                          memory_space=pltpu.VMEM),      # in_bias
-            pl.BlockSpec(memory_space=pl.ANY),       # x stays in HBM
+            # x pinned to HBM (the DMA pipeline assumes it; pl.ANY lets the
+            # compiler second-guess). Interpret mode has no Mosaic memory
+            # spaces, so keep ANY there. NOTE: the kernel's scoped-VMEM
+            # stack is ~14.7 MB at bf16 (out+scratch+weights, pipelined x2)
+            # against the 16 MB limit — f32 doubles that and fails to
+            # compile, which is why nets.resnet only engages this path for
+            # bf16 (measured on hardware, round 3).
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
             pl.BlockSpec((3, 3, c, c), lambda s, r: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),      # weights resident
         ],
