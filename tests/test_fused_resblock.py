@@ -92,3 +92,23 @@ def test_generator_forward_fused_unroll_parity():
         os.environ.pop('DEEPLIIF_FUSED', None)
     assert float(jnp.abs(m1 - m0).max()) < 1e-4
     assert float(jnp.abs(s1 - s0).max()) < 1e-4
+
+
+def test_fused_gate_is_bf16_only_on_tpu(monkeypatch):
+    """Auto mode engages the kernel only for bf16 on a TPU backend: the
+    kernel's scoped-VMEM stack (~14.7 MB bf16) doubles at f32 and fails to
+    compile on hardware (docs/Performance.md 'Fused Pallas resblock
+    kernel'), so f32 must fall back to the XLA path. Regression for the
+    round-3 flagship-f32 compile failure."""
+    monkeypatch.delenv('DEEPLIIF_FUSED', raising=False)
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+    ok = lambda dt: resnet._fused_ok(
+        jax.ShapeDtypeStruct((1, 128, 128, 256), dt), 'batch', 'zero',
+        False, True)
+    assert ok(jnp.bfloat16)
+    assert not ok(jnp.float32)
+    # explicit override still wins (tests drive f32 interpreted on CPU)
+    monkeypatch.setenv('DEEPLIIF_FUSED', '1')
+    assert ok(jnp.float32)
+    monkeypatch.setenv('DEEPLIIF_FUSED', '0')
+    assert not ok(jnp.bfloat16)
