@@ -27,6 +27,7 @@ padding semantics), the column halo is built in VMEM.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -144,6 +145,15 @@ def conv3x3_stats(x, w, *, padding='reflect', in_scale=None, in_bias=None,
     Returns (y (S,H,W,C) in x.dtype, stats (S,2,C) f32 [sum, sum-of-squares]).
     """
     s_n, h, w_n, c = x.shape
+    # DEEPLIIF_FUSED_CHUNK overrides the row-chunk height. The default 16
+    # puts the kernel's scoped-VMEM stack at ~14.7 MB bf16 against Mosaic's
+    # 16 MB limit; 8 halves the out/scratch share (~11 MB) for a measured
+    # 1.2% throughput cost (70.9 vs 71.7 tiles/s b128) — the ready
+    # mitigation if a toolchain update tightens the accounting again the
+    # way it did for f32 (docs/Performance.md).
+    env_ch = os.environ.get('DEEPLIIF_FUSED_CHUNK')
+    if env_ch:
+        chunk_rows = int(env_ch)
     ch = min(chunk_rows, h)
     assert h % ch == 0, (h, ch)
     assert padding in ('reflect', 'zero')
