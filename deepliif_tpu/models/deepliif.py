@@ -197,23 +197,41 @@ def _maybe_spectral(params, d: 'DeepLIIFDef'):
 # forward
 # ---------------------------------------------------------------------------
 
-def _translators_fused(x, d: DeepLIIFDef):
+def _translators_fused(x, d: DeepLIIFDef, params_g=None):
     """True when the fused Pallas resblock path would engage for the
     translators: resnet arch + inference shapes + TPU (or DEEPLIIF_FUSED=1).
     The ensemble is then UNROLLED over nets instead of vmapped — Mosaic
     cannot lower a vmapped ANY-space pallas_call, and XLA serializes the
-    vmapped members anyway."""
+    vmapped members anyway.
+
+    int8 mode: engages only once every resblock conv carries static
+    (calibrated) quantization params — the fused chain then runs the int8
+    MXU kernel (ops.fused_resblock.resblock_chain_int8); uncalibrated
+    (dynamic-scale) int8 keeps the unfused XLA path unchanged."""
     from ..nets import resnet
-    return (d.allow_fused and not d.quant_int8
-            and d.net_g[0].startswith('resnet_')
-            and resnet.fused_applicable(x.shape[1], x.shape[2], d.ngf,
-                                        d.norm, d.padding_type,
-                                        dtype=x.dtype))
+    ok = (d.allow_fused
+          and d.net_g[0].startswith('resnet_')
+          and resnet.fused_applicable(x.shape[1], x.shape[2], d.ngf,
+                                      d.norm, d.padding_type,
+                                      dtype=x.dtype))
+    if not ok:
+        return False
+    if d.quant_int8:
+        if params_g is None or not isinstance(params_g, dict):
+            return False
+        n_blocks = int(d.net_g[0].split('_')[1].replace('blocks', ''))
+        for i in range(n_blocks):
+            for j in (1, 2):
+                pp = params_g.get(f'res{i}_conv{j}')
+                if not isinstance(pp, dict) or 'w_q' not in pp \
+                        or 'a_s' not in pp:
+                    return False
+    return True
 
 
 def _run_translators(params_g, x, d: DeepLIIFDef, net):
     """Inference translator ensemble: fused-unrolled or vmapped."""
-    if _translators_fused(x, d):
+    if _translators_fused(x, d, params_g):
         m = d.modalities_no
         outs = [net.apply(jax.tree_util.tree_map(lambda a: a[i], params_g),
                           x, allow_fused=True) for i in range(m)]
@@ -406,7 +424,7 @@ def seg_only_forward(params, x, d: DeepLIIFDef, seg_weights=None,
     net = _g_net(d, d.net_g[0])
     mods = {}
     if run_mods:
-        if _translators_fused(x, d):
+        if _translators_fused(x, d, params['G']):
             mods = {i: net.apply(jax.tree_util.tree_map(lambda a: a[i],
                                                         params['G']),
                                  x, allow_fused=True) for i in run_mods}

@@ -192,14 +192,37 @@ def apply(p, x, *, n_blocks=9, norm='batch', use_dropout=True,
 
     if allow_fused and _fused_ok(x, norm, padding_type, train, use_dropout):
         from ..ops import fused_resblock as FR
-        blocks = [{'w1': p[f'res{i}_conv1']['w'].astype(x.dtype),
-                   'norm1': p[f'res{i}_norm1'],
-                   'w2': p[f'res{i}_conv2']['w'].astype(x.dtype),
-                   'norm2': p[f'res{i}_norm2']}
-                  for i in range(n_blocks)]
         # off-TPU (DEEPLIIF_FUSED=1 in tests) runs the kernel interpreted
-        x = FR.resblock_chain(x, blocks, padding=padding_type,
-                              interpret=jax.default_backend() != 'tpu')
+        interp = jax.default_backend() != 'tpu'
+        int8_ready = (
+            os.environ.get('DEEPLIIF_FUSED_INT8', '1') != '0'
+            and all('w_q' in p[f'res{i}_conv{j}']
+                    and 'a_s' in p[f'res{i}_conv{j}']
+                    for i in range(n_blocks) for j in (1, 2)))
+        if int8_ready:
+            # statically-quantized resblocks run the int8 MXU kernel:
+            # quantize/dequant stay in VMEM, so this is the fused
+            # quantized-conv path the XLA int8 mode cannot express
+            # (docs/Performance.md 'int8 quantized inference')
+            blocks = [{'w1q': p[f'res{i}_conv1']['w_q'],
+                       'w1s': p[f'res{i}_conv1']['w_s'],
+                       'a1': p[f'res{i}_conv1']['a_s'],
+                       'norm1': p[f'res{i}_norm1'],
+                       'w2q': p[f'res{i}_conv2']['w_q'],
+                       'w2s': p[f'res{i}_conv2']['w_s'],
+                       'a2': p[f'res{i}_conv2']['a_s'],
+                       'norm2': p[f'res{i}_norm2']}
+                      for i in range(n_blocks)]
+            x = FR.resblock_chain_int8(x, blocks, padding=padding_type,
+                                       interpret=interp)
+        else:
+            blocks = [{'w1': p[f'res{i}_conv1']['w'].astype(x.dtype),
+                       'norm1': p[f'res{i}_norm1'],
+                       'w2': p[f'res{i}_conv2']['w'].astype(x.dtype),
+                       'norm2': p[f'res{i}_norm2']}
+                      for i in range(n_blocks)]
+            x = FR.resblock_chain(x, blocks, padding=padding_type,
+                                  interpret=interp)
     else:
         rngs = jax.random.split(rng, n_blocks) if (train and use_dropout and rng is not None) else [None] * n_blocks
         res_pad = 0 if padding_type in ('reflect', 'replicate') else 1

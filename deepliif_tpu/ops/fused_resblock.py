@@ -206,6 +206,210 @@ def conv3x3_stats(x, w, *, padding='reflect', in_scale=None, in_bias=None,
     return y, st
 
 
+def _kernel_int8(scale_ref, bias_ref, inva_ref, x_ref, deq_ref, w_ref,
+                 y_ref, st_ref, blk, sem, *, ch, h, w, c, padding, in_relu,
+                 has_affine, out_dtype, n_samples):
+    """int8 variant of _kernel: the transformed input is quantized in
+    VMEM with a static (calibrated) scale, the 9 shifted matmuls run
+    int8 x int8 -> int32 on the MXU (2x the bf16 rate), and the dequant
+    (activation scale x per-output-channel weight scale) happens in the
+    epilogue before the stats — no int8/int32 intermediate ever reaches
+    HBM, which is exactly what the XLA `--precision int8` path cannot
+    avoid (docs/Performance.md 'int8 quantized inference')."""
+    s = pl.program_id(0)
+    r = pl.program_id(1)
+    r0 = r * ch
+    n_r = pl.num_programs(1)
+    t = s * n_r + r
+    total = n_samples * n_r
+    slot = jax.lax.rem(t, 2)
+    nslot = jax.lax.rem(t + 1, 2)
+
+    def dmas(slot_i, s_i, r0_i):
+        top_src = jnp.where(r0_i == 0, 1 if padding == 'reflect' else 0,
+                            r0_i - 1)
+        bot_src = jnp.where(r0_i + ch >= h,
+                            h - 2 if padding == 'reflect' else h - 1,
+                            r0_i + ch)
+        return (
+            pltpu.make_async_copy(x_ref.at[s_i, pl.ds(r0_i, ch)],
+                                  blk.at[slot_i, pl.ds(1, ch)],
+                                  sem.at[slot_i, 0]),
+            pltpu.make_async_copy(x_ref.at[s_i, pl.ds(top_src, 1)],
+                                  blk.at[slot_i, pl.ds(0, 1)],
+                                  sem.at[slot_i, 1]),
+            pltpu.make_async_copy(x_ref.at[s_i, pl.ds(bot_src, 1)],
+                                  blk.at[slot_i, pl.ds(ch + 1, 1)],
+                                  sem.at[slot_i, 2]),
+        )
+
+    @pl.when(t == 0)
+    def _():
+        for d in dmas(slot, s, r0):
+            d.start()
+
+    r_next = jnp.where(r + 1 < n_r, r + 1, 0)
+    s_next = jnp.where(r + 1 < n_r, s, s + 1)
+
+    @pl.when(t + 1 < total)
+    def _():
+        for d in dmas(nslot, s_next, r_next * ch):
+            d.start()
+
+    for d in dmas(slot, s, r0):
+        d.wait()
+
+    u = blk[slot]
+    if has_affine:
+        sc = scale_ref[s].astype(u.dtype)
+        bi = bias_ref[s].astype(u.dtype)
+        u = u * sc + bi
+    if in_relu:
+        u = jnp.maximum(u, 0)
+
+    if padding == 'zero':
+        row = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+        border = ((r0 == 0) & (row == 0)) | ((r0 + ch >= h) & (row == ch + 1))
+        u = jnp.where(border, jnp.zeros_like(u), u)
+
+    # ---- static quantization, same lattice as layers.conv2d's 'a_s' path:
+    # the scale multiply runs in u's dtype so the fused and XLA int8 paths
+    # round through identical bf16 values
+    inva = inva_ref[0, 0]
+    q = jnp.clip(jnp.round(u * inva.astype(u.dtype)), -127, 127
+                 ).astype(jnp.int8)
+
+    if padding == 'reflect':
+        left = jnp.concatenate([q[:, 1:2], q[:, :-1]], axis=1)
+        right = jnp.concatenate([q[:, 1:], q[:, w - 2:w - 1]], axis=1)
+    else:
+        zcol = jnp.zeros_like(q[:, :1])
+        left = jnp.concatenate([zcol, q[:, :-1]], axis=1)
+        right = jnp.concatenate([q[:, 1:], zcol], axis=1)
+
+    # ---- 9 shifted matmuls on the int8 MXU, exact int32 accumulation
+    acc = jnp.zeros((ch, w, c), jnp.int32)
+    dn = (((2,), (0,)), ((), ()))
+    for dy in range(3):
+        for dx, src in ((0, left), (1, q), (2, right)):
+            lhs = src[dy:dy + ch]
+            acc = acc + jax.lax.dot_general(
+                lhs, w_ref[dy, dx], dimension_numbers=dn,
+                preferred_element_type=jnp.int32)
+
+    yf = acc.astype(jnp.float32) * deq_ref[0]
+    y_ref[0] = yf.astype(out_dtype)
+
+    ssum = jnp.sum(yf, axis=(0, 1))
+    ssq = jnp.sum(yf * yf, axis=(0, 1))
+    st = jnp.stack([ssum, ssq])
+
+    @pl.when(r == 0)
+    def _():
+        st_ref[0] = st
+
+    @pl.when(r > 0)
+    def _():
+        st_ref[0] += st
+
+
+def conv3x3_stats_int8(x, w_q, deq, inv_a, *, padding='reflect',
+                       in_scale=None, in_bias=None, in_relu=False,
+                       chunk_rows=16, interpret=False):
+    """Fused (affine -> relu ->) static-quantize -> int8 conv3x3 -> dequant
+    + per-(sample, channel) output statistics.
+
+    x: (S, H, W, C) float; w_q: (3, 3, C, C) int8; deq: (C,) f32 dequant
+    scale (= a_s * w_s per output channel); inv_a: scalar f32 (= 1 / a_s).
+    Returns (y (S,H,W,C) in x.dtype, stats (S,2,C) f32) where
+    y = conv3x3(clip(round(u * inv_a)), w_q) * deq over the transformed
+    input u — the same contraction the XLA int8 conv path performs, with
+    nothing wider than x.dtype touching HBM.
+    """
+    s_n, h, w_n, c = x.shape
+    env_ch = os.environ.get('DEEPLIIF_FUSED_CHUNK')
+    if env_ch:
+        chunk_rows = int(env_ch)
+    ch = min(chunk_rows, h)
+    assert h % ch == 0, (h, ch)
+    assert padding in ('reflect', 'zero')
+    assert w_q.dtype == jnp.int8, w_q.dtype
+    has_affine = in_scale is not None
+    if not has_affine:
+        in_scale = jnp.zeros((s_n, c), jnp.float32)
+        in_bias = jnp.zeros((s_n, c), jnp.float32)
+    inv_a = jnp.asarray(inv_a, jnp.float32).reshape(1, 1)
+    deq = jnp.asarray(deq, jnp.float32).reshape(1, c)
+
+    kern = functools.partial(
+        _kernel_int8, ch=ch, h=h, w=w_n, c=c, padding=padding,
+        in_relu=in_relu, has_affine=has_affine, out_dtype=x.dtype,
+        n_samples=s_n)
+
+    y, st = pl.pallas_call(
+        kern,
+        grid=(s_n, h // ch),
+        in_specs=[
+            pl.BlockSpec((s_n, c), lambda s, r: (0, 0),
+                         memory_space=pltpu.VMEM),      # in_scale
+            pl.BlockSpec((s_n, c), lambda s, r: (0, 0),
+                         memory_space=pltpu.VMEM),      # in_bias
+            pl.BlockSpec((1, 1), lambda s, r: (0, 0),
+                         memory_space=pltpu.SMEM),      # 1/a_s scalar
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
+            pl.BlockSpec((1, c), lambda s, r: (0, 0),
+                         memory_space=pltpu.VMEM),      # dequant scale
+            pl.BlockSpec((3, 3, c, c), lambda s, r: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),      # int8 weights
+        ],
+        out_specs=(
+            pl.BlockSpec((1, ch, w_n, c), lambda s, r: (s, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, c), lambda s, r: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((s_n, h, w_n, c), x.dtype),
+            jax.ShapeDtypeStruct((s_n, 2, c), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ch + 2, w_n, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        interpret=interpret,
+    )(in_scale, in_bias, inv_a, x, deq, w_q)
+    return y, st
+
+
+def resblock_chain_int8(x, blocks, *, padding='reflect', eps=1e-5,
+                        interpret=False, chunk_rows=16):
+    """resblock_chain on the int8 MXU path.
+
+    blocks: list of dicts {'w1q','w1s','a1','norm1','w2q','w2s','a2',
+    'norm2'} where w*q are HWIO (3,3,C,C) int8 kernels, w*s (C,) f32
+    per-output-channel weight scales (layers.quantize_conv_int8), a* the
+    calibrated activation max-abs/127 scales (layers.quantize_conv_tree_int8
+    'a_s'), norm* {'scale','bias'} affine params. Same dataflow as
+    resblock_chain; each conv quantizes its transformed input in VMEM and
+    dequantizes in the epilogue."""
+    s_n, h, w_n, _ = x.shape
+    for b in blocks:
+        a1 = jnp.asarray(b['a1'], jnp.float32)
+        a2 = jnp.asarray(b['a2'], jnp.float32)
+        h1, st1 = conv3x3_stats_int8(
+            x, b['w1q'], a1 * b['w1s'], 1.0 / a1, padding=padding,
+            interpret=interpret, chunk_rows=chunk_rows)
+        sc1, bi1 = finalize_norm(st1, b['norm1'], h, w_n, eps)
+        h2, st2 = conv3x3_stats_int8(
+            h1, b['w2q'], a2 * b['w2s'], 1.0 / a2, padding=padding,
+            in_scale=sc1, in_bias=bi1, in_relu=True,
+            interpret=interpret, chunk_rows=chunk_rows)
+        sc2, bi2 = finalize_norm(st2, b['norm2'], h, w_n, eps)
+        x = x + (h2 * sc2[:, None, None].astype(h2.dtype)
+                 + bi2[:, None, None].astype(h2.dtype))
+    return x
+
+
 def finalize_norm(st, norm_p, h, w, eps=1e-5):
     """stats (S,2,C) -> per-(sample, channel) (scale, bias) applying the
     affine batch-stat norm (biased variance, reference BatchNorm2d with
