@@ -21,6 +21,7 @@ IOHW for ConvTranspose2d) are converted by deepliif_tpu.utils.torch_import.
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -234,7 +235,29 @@ class act_calibration:
         self.out[path] = max(self.out.get(path, 0.0), m)
 
 
-def quantize_conv_tree_int8(params, min_ch=16, act_scales=None):
+def int8_scope_predicate(scope=None):
+    """Map a quantization-scope name to a path predicate for
+    quantize_conv_tree_int8. ``scope`` None reads DEEPLIIF_INT8_SCOPE:
+
+    - 'all' (default): every conv the min_ch gate admits.
+    - 'resblocks': only the ResNet-trunk resblock convs — the ones the
+      fused int8 Pallas kernel runs entirely in VMEM
+      (ops.fused_resblock.resblock_chain_int8). Every other conv stays on
+      the float path, so the program carries no XLA int8/int32 HBM temps
+      and compiles at the bf16 batch ceiling (batch 128 vs the 32 the
+      all-conv scope tops out at, docs/Performance.md)."""
+    import re
+    if scope is None:
+        scope = os.environ.get('DEEPLIIF_INT8_SCOPE', 'all')
+    if scope == 'all':
+        return None
+    if scope == 'resblocks':
+        return lambda path: re.search(r'(^|/)res\d+_conv', path) is not None
+    raise ValueError(f'unknown int8 scope [{scope}] '
+                     f"(expected 'all' or 'resblocks')")
+
+
+def quantize_conv_tree_int8(params, min_ch=16, act_scales=None, scope=None):
     """Walk a param pytree and int8-quantize every conv whose in/out channel
     counts are both >= min_ch (head convs fed by 3-channel images and
     3-channel tail convs stay in the float path: negligible compute, highest
@@ -246,11 +269,19 @@ def quantize_conv_tree_int8(params, min_ch=16, act_scales=None):
     static calibrated scales (a pure elementwise quantize XLA fuses into
     the producer): either one float applied everywhere, or a
     {'/'.join(path): max_abs} dict from calibrate_act_scales — convs with
-    no entry keep dynamic quantization."""
+    no entry keep dynamic quantization.
+
+    ``scope`` optionally restricts which convs quantize: a predicate over
+    the joined path (see int8_scope_predicate)."""
+    if not callable(scope):
+        scope = int8_scope_predicate(scope)
+
     def walk(node, path):
         if isinstance(node, dict):
             if 'w' in node and hasattr(node['w'], 'ndim') and node['w'].ndim in (4, 5):
                 cin, cout = node['w'].shape[-2], node['w'].shape[-1]
+                if scope is not None and not scope('/'.join(path)):
+                    return node
                 if cin >= min_ch and cout >= min_ch:
                     out = quantize_conv_int8(node)
                     scale = (act_scales if isinstance(act_scales, (int, float))

@@ -209,3 +209,24 @@ def test_dynamic_int8_does_not_engage_fused():
         assert not dl._translators_fused(x, d, params_dyn['G'])
     finally:
         os.environ.pop('DEEPLIIF_FUSED', None)
+
+
+def test_int8_scope_resblocks_quantizes_only_resblock_convs():
+    """DEEPLIIF_INT8_SCOPE=resblocks confines quantization to the trunk
+    convs the fused kernel runs — all other convs keep the float path, so
+    the program carries no XLA int8/int32 HBM temps."""
+    from deepliif_tpu.nets import layers as L
+    from deepliif_tpu.nets import resnet
+
+    p = resnet.init(jax.random.PRNGKey(0), 3, 3, ngf=32, n_blocks=2,
+                    norm='batch')
+    q = L.quantize_conv_tree_int8(p, act_scales=2.0, scope='resblocks')
+    for i in range(2):
+        for j in (1, 2):
+            assert 'w_q' in q[f'res{i}_conv{j}'] and 'a_s' in q[f'res{i}_conv{j}']
+    for name in ('down0_conv', 'down1_conv', 'up0_conv', 'up1_conv',
+                 'head_conv', 'tail_conv'):
+        assert 'w_q' not in q[name], name
+    # default scope still quantizes the interior stage convs
+    q_all = L.quantize_conv_tree_int8(p, act_scales=2.0)
+    assert 'w_q' in q_all['down1_conv']

@@ -181,3 +181,38 @@ def test_bf16_session_fidelity_vs_f32(model_dir):
         d = np.abs(b16[k].astype(np.int16) - f32[k].astype(np.int16))
         assert d.max() <= 32, (k, d.max())
         assert d.mean() <= 4.0, (k, d.mean())
+
+
+def test_int8_resblock_scope_session_fused_kernel(model_dir, tmp_path,
+                                                  monkeypatch):
+    """DEEPLIIF_INT8_SCOPE=resblocks + static calibration routes the
+    resblocks through the fused int8 Pallas kernel (interpreted on CPU)
+    and keeps every other conv in the float path — the highest-fidelity
+    int8 configuration and the one that compiles at the bf16 batch
+    ceiling on hardware (docs/Performance.md)."""
+    import shutil
+    monkeypatch.setenv('DEEPLIIF_INT8_SCOPE', 'resblocks')
+    monkeypatch.setenv('DEEPLIIF_FUSED', '1')
+    md = str(tmp_path / 'md')
+    shutil.copytree(model_dir, md)
+    tiles = _real_tiles()
+    f32 = InferenceSession(model_dir, n_devices=1).run_tiles(tiles)
+    s8 = InferenceSession(md, n_devices=1, precision='int8')
+    out8 = s8.run_tiles(tiles)  # auto-calibrates
+    g = s8.params['G']
+    assert 'w_q' in g['res0_conv1'] and 'a_s' in g['res0_conv1']
+    assert 'w_q' not in g['down0_conv']  # scope confined to resblocks
+    assert dl._translators_fused(
+        jnp.zeros((1, 64, 64, 3), jnp.float32), s8.d, g)
+    for k in f32:
+        s = min(_ssim(out8[k][i], f32[k][i]) for i in range(len(tiles)))
+        assert s > 0.98, (k, s)
+    # Static scales keep outputs independent of batch COMPOSITION; across
+    # batch SIZES the seg U-Nets run float convs here (that is the point
+    # of the scope), and XLA recompiles per bucket — float convs are not
+    # bit-stable across batch shapes on the CPU backend, so unlike the
+    # all-conv scope (integer convs, exact) this path is pinned to <=1 u8.
+    single = s8.run_tiles(tiles[:1])
+    for k in out8:
+        d = np.abs(out8[k][0].astype(int) - single[k][0].astype(int))
+        assert d.max() <= 1 and (d > 0).mean() < 0.05, (k, d.max())

@@ -111,3 +111,39 @@ assert d < 0.05, d
 print('s2d ok', d)
 ''')
     assert 's2d ok' in out
+
+
+def test_fused_int8_resblock_matches_reference_on_tpu():
+    """The fused int8 kernel lowers through Mosaic (int8 MXU dot,
+    in-kernel quantize) and matches the plain-XLA reference of the same
+    contract exactly on hardware — the integer contraction admits no
+    rounding drift."""
+    out = _run_on_tpu('''
+import jax, jax.numpy as jnp, numpy as np
+assert jax.default_backend() == 'tpu', jax.default_backend()
+from deepliif_tpu.ops import fused_resblock as FR
+rng = np.random.default_rng(0)
+c = 256
+x = jnp.asarray(rng.normal(0, 1, (2, 128, 128, c)), jnp.bfloat16)
+w = rng.normal(0, 0.02, (3, 3, c, c)).astype(np.float32)
+ws = np.maximum(np.abs(w).max(axis=(0, 1, 2)) / 127.0, 1e-12)
+wq = jnp.asarray(np.clip(np.rint(w / ws), -127, 127).astype(np.int8))
+a = np.float32(2.0 / 127.0)
+deq = jnp.asarray((a * ws).astype(np.float32))
+y, st = jax.jit(lambda x: FR.conv3x3_stats_int8(
+    x, wq, deq, 1.0 / a, padding='reflect'))(x)
+# reference: same quantization lattice in plain XLA
+q = jnp.clip(jnp.round(x * jnp.float32(1.0 / a).astype(x.dtype)),
+             -127, 127).astype(jnp.int8)
+qp = jnp.pad(q, ((0, 0), (1, 1), (1, 1), (0, 0)), mode='reflect')
+dn = jax.lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
+                                    ('NHWC', 'HWIO', 'NHWC'))
+y32 = jax.lax.conv_general_dilated(qp, wq, (1, 1), 'VALID',
+                                   dimension_numbers=dn,
+                                   preferred_element_type=jnp.int32)
+yr = (y32.astype(jnp.float32) * deq).astype(x.dtype)
+d = float(jnp.abs(y.astype(jnp.float32) - yr.astype(jnp.float32)).max())
+assert d == 0.0, d
+print('fused int8 ok', d)
+''')
+    assert 'fused int8 ok' in out
