@@ -24,6 +24,27 @@ jax.config.update('jax_platforms', 'cpu')
 import pytest  # noqa: E402
 
 
+def cpu_subprocess_env(**extra):
+    """os.environ copy for a CPU-forced child process, with the TPU
+    platform plugin stripped: the plugin's sitecustomize initializes its
+    backend eagerly at interpreter start (ignoring JAX_PLATFORMS=cpu), so
+    a tunnel outage would hang otherwise-CPU-only subprocess tests.
+    test_tpu_hardware.py builds its own env to keep the plugin."""
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    for k in [k for k in env if k.startswith('PALLAS_AXON')
+              or k == 'AXON_LOOPBACK_RELAY']:
+        env.pop(k)
+    pp = [p for p in env.get('PYTHONPATH', '').split(os.pathsep)
+          if p and 'axon' not in os.path.basename(p.rstrip('/'))]
+    if pp:
+        env['PYTHONPATH'] = os.pathsep.join(pp)
+    else:
+        env.pop('PYTHONPATH', None)
+    env.update(extra)
+    return env
+
+
 @pytest.fixture(scope='session')
 def rng_key():
     import jax

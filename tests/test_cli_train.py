@@ -15,9 +15,9 @@ requires_reference = pytest.mark.skipif(
 
 
 def _run_cli(args, cwd='/root/repo'):
-    env = dict(os.environ)
-    env['JAX_PLATFORMS'] = 'cpu'
-    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=1'
+    from conftest import cpu_subprocess_env
+    env = cpu_subprocess_env(
+        XLA_FLAGS='--xla_force_host_platform_device_count=1')
     return subprocess.run([sys.executable, '-m', 'deepliif_tpu.cli'] + args,
                           capture_output=True, text=True, env=env, cwd=cwd,
                           timeout=1200)

@@ -82,11 +82,9 @@ def test_two_process_distributed_training(tmp_path):
         Image.fromarray(row).save(train_dir / f'r{i}.png')
 
     port = _free_port()
-    env_base = dict(os.environ)
-    env_base.pop('PALLAS_AXON_POOL_IPS', None)
-    env_base.pop('PALLAS_AXON_REMOTE_COMPILE', None)
+    from conftest import cpu_subprocess_env
+    env_base = cpu_subprocess_env()
     env_base.update({
-        'JAX_PLATFORMS': 'cpu',
         'COORD': f'127.0.0.1:{port}',
         'DATAROOT': str(tmp_path / 'data'),
         'OUT': str(tmp_path),
