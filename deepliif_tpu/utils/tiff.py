@@ -208,12 +208,18 @@ def make_ome_xml(size_x, size_y, channel_names=None, size_c=3,
 
 def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
                        compression=True, channel_names=None,
-                       description=None, jpeg_quality=85):
+                       description=None, jpeg_quality=85, macro=None):
     """Write an HxWx3 uint8 canvas as a pyramidal tiled BigTIFF.
 
     compression: True/'deflate' | 'jpeg' (per-tile standalone JPEG streams,
-    the .svs tile layout) | False. ``description`` overrides the page-0
-    ImageDescription (e.g. an Aperio-style 'AppMag = 40' string).
+    the .svs tile layout) | False. ``description`` overrides the main
+    page's ImageDescription (e.g. an Aperio-style 'AppMag = 40' string).
+
+    ``macro`` optionally writes a small HxWx3 uint8 overview image as the
+    FIRST page, ahead of the full-resolution pyramid — the Leica .scn /
+    Ventana .bif layout (vendor slides the reference reads via
+    Bio-Formats, util/__init__.py:559-617; TiledTiffReader selects the
+    largest page as level 0, so such files read correctly).
 
     ``canvas`` may be a np.memmap: pages are sliced tile-by-tile, so the
     full-resolution image is never materialized in RAM."""
@@ -225,6 +231,10 @@ def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
     comp_jpeg = compression == 'jpeg'
     comp_j2k = compression == 'jpeg2000'
     pages = []
+    main_idx = 0
+    if macro is not None:
+        pages.append(np.ascontiguousarray(macro, np.uint8))
+        main_idx = 1
     for f in levels:
         if f == 1:
             pages.append(canvas)
@@ -277,7 +287,7 @@ def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
             cnt_arr_off = fh.tell()
             fh.write(struct.pack(f'<{len(counts)}Q', *counts))
             desc_off = desc_len = 0
-            if page_idx == 0 and (channel_names or description):
+            if page_idx == main_idx and (channel_names or description):
                 desc = (description.encode() if description
                         else make_ome_xml(w, h, channel_names).encode()) + b'\x00'
                 desc_off = fh.tell()
@@ -289,7 +299,7 @@ def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
             def entry(tag, typ, count, value):
                 entries.append((tag, typ, count, value))
 
-            if page_idx > 0:
+            if page_idx > main_idx:
                 entry(NEW_SUBFILE_TYPE, TYPE_LONG, 1, 1)
             if desc_len:
                 entry(IMAGE_DESCRIPTION, 2, desc_len, desc_off)  # type ASCII
@@ -416,7 +426,8 @@ def parse_magnification(description):
     for pat in (r'AppMag\s*=\s*([0-9.]+)',
                 r'NominalMagnification\s*=\s*"?([0-9.]+)',
                 r'Magnification\s*[=:]\s*"?([0-9.]+)',
-                r'\|Mag\s*=\s*([0-9.]+)'):
+                r'\|Mag\s*=\s*([0-9.]+)',
+                r'<objective>\s*([0-9.]+)\s*</objective>'):  # Leica .scn XML
         m = re.search(pat, description)
         if m:
             try:
@@ -448,6 +459,13 @@ class TiledTiffReader:
         self.pages = self._read_ifds()
         if not self.pages:
             raise ValueError('no TIFF pages found')
+        # Level-0 page: the largest one. Aperio/OME/our own pyramids put
+        # it first; Leica .scn and Ventana .bif store a macro/thumbnail
+        # image AHEAD of the full-resolution pyramid. Ties keep the first
+        # page (OME multichannel files address sibling planes by level).
+        areas = [p['width'] * p['height'] for p in self.pages]
+        self._base = max(range(len(self.pages)),
+                         key=lambda i: (areas[i], -i))
 
     def _read_value_array(self, typ, count, raw):
         if typ in (TYPE_BYTE, TYPE_ASCII, TYPE_UNDEFINED):
@@ -563,24 +581,31 @@ class TiledTiffReader:
     def get_magnification(self):
         """Objective magnification: Hamamatsu SourceLens tag (65421; the
         first positive value — macro/map pages store -1/-2), else the
-        ImageDescription heuristics in parse_magnification."""
+        ImageDescription heuristics in parse_magnification over every page
+        (vendors differ on which page carries the metadata)."""
         for page in self.pages:
             lens = page.get('source_lens')
             if lens is not None and lens > 0:
                 return float(lens)
-        return parse_magnification(self.read_description())
+        for page in self.pages:
+            mag = parse_magnification(page.get('description'))
+            if mag is not None:
+                return mag
+        return None
 
     def read_description(self, level=0):
-        return self.pages[level].get('description')
+        return self.pages[self._base + level].get('description')
 
     @property
     def size(self):
-        return (self.pages[0]['width'], self.pages[0]['height'])
+        p = self.pages[self._base]
+        return (p['width'], p['height'])
 
     def read_region(self, x, y, w, h, level=0):
         """Decode only the tiles/strips intersecting (x, y, w, h) on
-        ``level``; returns (h, w, 3) uint8 (alpha dropped)."""
-        page = self.pages[level]
+        ``level`` (relative to the full-resolution page); returns
+        (h, w, 3) uint8 (alpha dropped)."""
+        page = self.pages[self._base + level]
         if page['tile_w'] is not None and page['offsets']:
             out = self._read_region_tiled(page, x, y, w, h)
         elif page['strip_offsets']:

@@ -46,7 +46,8 @@ class WSIReader:
             self._tiled = CziReader(path)
             self.size = self._tiled.size
             return
-        if path.lower().endswith(('.tif', '.tiff', '.svs', '.ndpi')):
+        if path.lower().endswith(('.tif', '.tiff', '.svs', '.ndpi',
+                                  '.scn', '.bif')):
             try:
                 from .tiff import TiledTiffReader
                 self._tiled = TiledTiffReader(path)

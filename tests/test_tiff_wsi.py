@@ -396,3 +396,80 @@ def test_wsi_region_producer_propagates_errors():
     assert q2.get_nowait()[0] == (0, 0, 4, 4)
     assert q2.get_nowait()[0] == (4, 0, 4, 4)
     assert q2.get_nowait() is None
+
+
+# ---------------------------------------------------------------------------
+# macro-first vendor layouts (Leica .scn, Ventana .bif)
+# ---------------------------------------------------------------------------
+
+SCN_XML = ('<?xml version="1.0"?><scn xmlns="http://www.leica-microsystems'
+           '.com/scn/2010/10/01"><collection><image><scanSettings>'
+           '<objectiveSettings><objective>40</objective></objectiveSettings>'
+           '</scanSettings></image></collection></scn>')
+
+BIF_XMP = ('<?xml version="1.0"?><x:xmpmeta xmlns:x="adobe:ns:meta/">'
+           '<iScan Magnification="20" ScanMode="Regular" /></x:xmpmeta>')
+
+
+def _macro_first_slide(tmp_path, ext, desc):
+    from deepliif_tpu.utils.tiff import write_pyramid_tiff
+    rng = np.random.default_rng(7)
+    canvas = rng.integers(0, 255, (300, 400, 3), np.uint8)
+    macro = rng.integers(0, 255, (60, 80, 3), np.uint8)
+    path = str(tmp_path / f'slide{ext}')
+    write_pyramid_tiff(path, canvas, levels=(1, 2), compression=False,
+                       description=desc, macro=macro)
+    return path, canvas, macro
+
+
+@pytest.mark.parametrize('ext,desc,mag', [
+    ('.scn', SCN_XML, 40.0),      # Leica: objective in SCN XML
+    ('.bif', BIF_XMP, 20.0),      # Ventana: Magnification attr in XMP
+])
+def test_macro_first_vendor_slide(tmp_path, ext, desc, mag):
+    """Leica .scn / Ventana .bif store a macro image AHEAD of the
+    full-resolution pyramid (read via Bio-Formats in the reference,
+    util/__init__.py:559-617): the reader must pick the largest page as
+    level 0 and find the magnification on whichever page carries it."""
+    from deepliif_tpu.utils.tiff import TiledTiffReader
+    from deepliif_tpu.utils.wsi import WSIReader, get_wsi_resolution
+
+    path, canvas, macro = _macro_first_slide(tmp_path, ext, desc)
+
+    r = TiledTiffReader(path)
+    assert r.size == (400, 300)          # the main page, not the macro
+    assert r.get_magnification() == mag
+    np.testing.assert_array_equal(r.read_region(0, 0, 400, 300), canvas)
+    np.testing.assert_array_equal(r.read_region(50, 40, 120, 90),
+                                  canvas[40:130, 50:170])
+    # level indices stay relative to the full-resolution page
+    np.testing.assert_array_equal(r.read_region(0, 0, 200, 150, level=1),
+                                  canvas[::2, ::2])
+    r.close()
+
+    w = WSIReader(path)
+    assert w.size == (400, 300)
+    info = w.get_information()
+    assert info['magnification'] == mag
+    np.testing.assert_array_equal(w.read_region(10, 20, 60, 50),
+                                  canvas[20:70, 10:70])
+    w.close()
+
+    assert get_wsi_resolution(path) == (512 if mag == 40 else 256)
+
+
+def test_macro_page_does_not_shadow_plain_pyramids(tmp_path):
+    """Regression: files whose first page IS the largest (Aperio, OME, our
+    own writes) keep byte-identical behavior under the base-page logic."""
+    from deepliif_tpu.utils.tiff import TiledTiffReader, write_pyramid_tiff
+    rng = np.random.default_rng(8)
+    canvas = rng.integers(0, 255, (200, 260, 3), np.uint8)
+    path = str(tmp_path / 'plain.tif')
+    write_pyramid_tiff(path, canvas, levels=(1, 2), compression=False,
+                       description='Aperio Fake |AppMag = 40|')
+    r = TiledTiffReader(path)
+    assert r._base == 0
+    assert r.size == (260, 200)
+    assert r.get_magnification() == 40.0
+    np.testing.assert_array_equal(r.read_region(0, 0, 260, 200), canvas)
+    r.close()
