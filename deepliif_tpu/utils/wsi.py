@@ -46,6 +46,11 @@ class WSIReader:
             self._tiled = CziReader(path)
             self.size = self._tiled.size
             return
+        if path.lower().endswith('.dcm'):
+            from .dicom import DicomWsiReader
+            self._tiled = DicomWsiReader(path)
+            self.size = self._tiled.size
+            return
         if path.lower().endswith(('.tif', '.tiff', '.svs', '.ndpi',
                                   '.scn', '.bif')):
             try:
