@@ -187,3 +187,48 @@ def test_unsupported_transfer_syntax(tmp_path, canvas):
     p2.write_bytes(bad)
     with pytest.raises(ValueError, match='transfer syntax'):
         DicomWsiReader(str(p2))
+
+
+def test_wsi_inference_end_to_end_on_dcm(tmp_path):
+    """`test-wsi` over a .dcm instance: region streaming + stitching +
+    scoring run unchanged on the DICOM reader (the format only changes
+    WSIReader's dispatch)."""
+    import json
+    import os
+    import jax
+    from deepliif_tpu.models import deepliif as dl
+    from deepliif_tpu.utils import checkpoints
+    from deepliif_tpu.utils.wsi import infer_results_for_wsi
+
+    md = tmp_path / 'model'
+    md.mkdir()
+    d = dl.DeepLIIFDef(modalities_no=2, net_g=('resnet_6blocks',) * 2,
+                       net_gs=('unet_32',) * 3, ngf=8, ndf=8,
+                       seg_weights=(0.4, 0.3, 0.3))
+    params = dl.init_params(jax.random.PRNGKey(7), d,
+                            with_discriminators=False)
+    checkpoints.save_networks(str(md), params)
+    with open(md / 'config.json', 'w') as f:
+        json.dump({'model': 'DeepLIIF', 'modalities_no': 2, 'seg_gen': True,
+                   'seg_no': 1, 'input_no': 1, 'netG': 'resnet_6blocks',
+                   'net_gs': 'unet_32', 'ngf': 8, 'ndf': 8, 'norm': 'batch',
+                   'no_dropout': False, 'padding': 'zero',
+                   'upsample': 'convtranspose', 'scale_size': 64,
+                   'seg_weights': [0.4, 0.3, 0.3],
+                   'modalities_names': ['IHC', 'A', 'B'],
+                   'background_colors': [(201, 211, 208), (10, 10, 10)]}, f)
+
+    rng = np.random.default_rng(5)
+    slide = rng.integers(0, 255, (120, 120, 3), np.uint8)
+    wsi_dir = tmp_path / 'wsi'
+    wsi_dir.mkdir()
+    _wsi_dcm(wsi_dir, 'slide.dcm', slide, tile=32)
+
+    out = tmp_path / 'out'
+    scoring = infer_results_for_wsi(str(wsi_dir), 'slide.dcm', str(out),
+                                    str(md), tile_size=64, region_size=128)
+    assert {'num_total', 'num_pos', 'num_neg', 'percent_pos'} <= set(scoring)
+    files = os.listdir(out)
+    assert any(f.startswith('slide_Seg') and f.endswith('.ome.tiff')
+               for f in files), files
+    assert 'slide.json' in files
