@@ -29,6 +29,7 @@ import struct
 import numpy as np
 
 _EXPLICIT_LE = '1.2.840.10008.1.2.1'
+_IMPLICIT_LE = '1.2.840.10008.1.2'
 _ENCAPSULATED = {
     '1.2.840.10008.1.2.4.50': 'JPEG',      # baseline
     '1.2.840.10008.1.2.4.51': 'JPEG',      # extended
@@ -53,34 +54,57 @@ TAG_COL_POS = (0x0048, 0x021E)   # Column Position In Total Image Pixel Matrix
 TAG_ROW_POS = (0x0048, 0x021F)   # Row Position In Total Image Pixel Matrix
 
 
-def _parse_elements(buf, pos, end, out):
+def _looks_like_sq(buf, pos, length):
+    """Implicit-VR SQ heuristic: a non-empty sequence value begins with an
+    (FFFE,E000) item tag (the standard dictionary-free disambiguation)."""
+    if length == 0 or pos + 8 > len(buf):
+        return False
+    group, elem = struct.unpack_from('<HH', buf, pos)
+    return (group, elem) == (0xFFFE, 0xE000)
+
+
+def _parse_elements(buf, pos, end, out, explicit=True):
     """Parse data elements in [pos, end) into ``out`` as (tag,
     vr, value_bytes) leaves, descending into sequences. Stops at ``end`` or at
     an (FFFE,E00D) item delimiter (consumed — the caller is an
     undefined-length item). Returns (next_pos, pixel_value_offset|None);
     the offset is only set for undefined-length (encapsulated) pixel data,
-    whose fragments the caller parses."""
+    whose fragments the caller parses.
+
+    ``explicit`` False parses Implicit VR Little Endian: no VR in the
+    stream (leaves carry b'??'; consumers fall back to a per-tag VR
+    table), 4-byte lengths, sequences recognized by _looks_like_sq."""
     while pos + 8 <= end:
         group, elem = struct.unpack_from('<HH', buf, pos)
         tag = (group, elem)
         if tag == (0xFFFE, 0xE00D):
             return pos + 8, None
         pos += 4
-        vr = buf[pos:pos + 2]
-        pos += 2
-        if vr in _LONG_VRS:
+        if explicit:
+            vr = buf[pos:pos + 2]
             pos += 2
+            if vr in _LONG_VRS:
+                pos += 2
+                length = struct.unpack_from('<I', buf, pos)[0]
+                pos += 4
+            else:
+                length = struct.unpack_from('<H', buf, pos)[0]
+                pos += 2
+        else:
+            vr = b'??'
             length = struct.unpack_from('<I', buf, pos)[0]
             pos += 4
-        else:
-            length = struct.unpack_from('<H', buf, pos)[0]
-            pos += 2
         if tag == TAG_PIXEL_DATA and length == 0xFFFFFFFF:
             return pos, pos            # encapsulated: fragments follow
-        if vr == b'SQ' or (vr == b'UN' and length == 0xFFFFFFFF):
+        is_sq = (vr == b'SQ' or (vr == b'UN' and length == 0xFFFFFFFF)
+                 or (not explicit
+                     and (length == 0xFFFFFFFF
+                          or _looks_like_sq(buf, pos, length))))
+        if is_sq:
             sq_end = end if length == 0xFFFFFFFF else pos + length
             pos = _parse_sq_items(buf, pos, sq_end, out,
-                                  undefined=length == 0xFFFFFFFF)
+                                  undefined=length == 0xFFFFFFFF,
+                                  explicit=explicit)
         else:
             if length == 0xFFFFFFFF:
                 raise ValueError(f'undefined length on non-SQ tag {tag}')
@@ -89,7 +113,7 @@ def _parse_elements(buf, pos, end, out):
     return pos, None
 
 
-def _parse_sq_items(buf, pos, end, out, undefined):
+def _parse_sq_items(buf, pos, end, out, undefined, explicit=True):
     """Sequence value: (FFFE,E000) items until ``end`` (defined-length
     SQ) or an (FFFE,E0DD) delimiter (undefined). Returns next_pos."""
     while pos + 8 <= end:
@@ -101,18 +125,31 @@ def _parse_sq_items(buf, pos, end, out, undefined):
         if (group, elem) != (0xFFFE, 0xE000):
             raise ValueError(f'malformed sequence at {pos - 8}')
         if length == 0xFFFFFFFF:
-            pos, _ = _parse_elements(buf, pos, end, out)  # stops at E00D
+            pos, _ = _parse_elements(buf, pos, end, out,
+                                     explicit=explicit)  # stops at E00D
         else:
-            _parse_elements(buf, pos, pos + length, out)
+            _parse_elements(buf, pos, pos + length, out, explicit=explicit)
             pos += length
     if undefined:
         raise ValueError('unterminated undefined-length sequence')
     return pos
 
 
-def _decode_int(vr, v, default=None):
+# VRs of the tags this reader consumes — implicit-VR streams carry no VR,
+# so decoding falls back to this table
+_TAG_VRS = {
+    TAG_ROWS: b'US', TAG_COLS: b'US', TAG_SPP: b'US',
+    TAG_FRAMES: b'IS', TAG_MATRIX_COLS: b'UL', TAG_MATRIX_ROWS: b'UL',
+    TAG_COL_POS: b'SL', TAG_ROW_POS: b'SL', TAG_OBJECTIVE: b'DS',
+}
+
+
+def _decode_int(vr, v, default=None, tag=None):
     """Integer from a (vr, value_bytes) leaf: binary VRs by format,
-    string VRs (IS etc.) by ascii."""
+    string VRs (IS etc.) by ascii; implicit-VR leaves (b'??') resolve
+    through the per-tag table."""
+    if vr == b'??':
+        vr = _TAG_VRS.get(tag, b'??')
     fmt = {b'US': '<H', b'UL': '<I', b'SL': '<i', b'SS': '<h'}.get(vr)
     if fmt:
         return struct.unpack(fmt, v)[0]
@@ -162,13 +199,15 @@ class DicomWsiReader:
         _parse_elements(buf, pos + 12, hdr_end, meta2)
         ts = {t: v for t, _, v in meta2}[TAG_TS] \
             .decode('ascii').rstrip('\x00 ')
-        if ts != _EXPLICIT_LE and ts not in _ENCAPSULATED:
+        if ts not in (_EXPLICIT_LE, _IMPLICIT_LE) \
+                and ts not in _ENCAPSULATED:
             raise ValueError(f'unsupported DICOM transfer syntax {ts} '
                              f'(convert to Explicit VR Little Endian)')
         self.codec = _ENCAPSULATED.get(ts)
 
         leaves = []
-        _, px_off = _parse_elements(buf, hdr_end, len(buf), leaves)
+        _, px_off = _parse_elements(buf, hdr_end, len(buf), leaves,
+                                    explicit=ts != _IMPLICIT_LE)
         tags = {}
         for tag, vr, val in leaves:
             tags.setdefault(tag, (vr, val))   # first occurrence wins
@@ -178,7 +217,7 @@ class DicomWsiReader:
         def _int(tag, default=None):
             if tag not in tags:
                 return default
-            return _decode_int(*tags[tag], default=default)
+            return _decode_int(*tags[tag], default=default, tag=tag)
 
         self.tile_h = _int(TAG_ROWS)
         self.tile_w = _int(TAG_COLS)
@@ -209,9 +248,9 @@ class DicomWsiReader:
     def _frame_positions(self, leaves):
         """TILED_SPARSE per-frame (col, row) origins, 0-based, in leaf
         order — None for TILED_FULL (computed arithmetically)."""
-        cols = [_decode_int(vr, v) - 1
+        cols = [_decode_int(vr, v, tag=t) - 1
                 for t, vr, v in leaves if t == TAG_COL_POS]
-        rows = [_decode_int(vr, v) - 1
+        rows = [_decode_int(vr, v, tag=t) - 1
                 for t, vr, v in leaves if t == TAG_ROW_POS]
         if cols and len(cols) == len(rows):
             return list(zip(cols, rows))

@@ -182,11 +182,64 @@ def test_wsireader_routing_and_resolution(tmp_path, canvas):
 def test_unsupported_transfer_syntax(tmp_path, canvas):
     path = _wsi_dcm(tmp_path, 'b.dcm', canvas)
     raw = open(path, 'rb').read()
-    bad = raw.replace(EXPLICIT_LE.encode(), b'1.2.840.10008.1.2\x00 ')
+    # Explicit VR Big Endian (retired) — same length as the original UID
+    bad = raw.replace(EXPLICIT_LE.encode(), b'1.2.840.10008.1.2.2')
     p2 = tmp_path / 'bad.dcm'
     p2.write_bytes(bad)
     with pytest.raises(ValueError, match='transfer syntax'):
         DicomWsiReader(str(p2))
+
+
+def _el_impl(group, elem, value, vr_hint=None):
+    """Implicit-VR-LE element: tag + 4-byte length + value."""
+    if vr_hint in SHORT_VRS and not isinstance(value, bytes):
+        value = struct.pack(SHORT_VRS[vr_hint], value)
+    elif isinstance(value, str):
+        value = value.encode('ascii')
+    if len(value) % 2:
+        value += b' '
+    return struct.pack('<HHI', group, elem, len(value)) + value
+
+
+def test_implicit_vr_little_endian(tmp_path, canvas):
+    """Implicit VR LE (the default transfer syntax): no VRs in the
+    stream — sequences recognized by the item-tag peek, integers decoded
+    through the per-tag VR table."""
+    h, w = canvas.shape[:2]
+    tile = 32
+    ty, tx = (h + tile - 1) // tile, (w + tile - 1) // tile
+    frames = []
+    for j in range(ty):
+        for i in range(tx):
+            t = np.zeros((tile, tile, 3), np.uint8)
+            src = canvas[j * tile:(j + 1) * tile, i * tile:(i + 1) * tile]
+            t[:src.shape[0], :src.shape[1]] = src
+            frames.append(t)
+    opt_item = _el_impl(0x0048, 0x0112, '40')        # objective power DS
+    opt_sq = (struct.pack('<HHI', 0x0048, 0x0105, len(opt_item) + 8)
+              + struct.pack('<HHI', 0xFFFE, 0xE000, len(opt_item))
+              + opt_item)
+    ds = b''
+    ds += _el_impl(0x0020, 0x9311, 'TILED_FULL')
+    ds += _el_impl(0x0028, 0x0002, 3, 'US')
+    ds += _el_impl(0x0028, 0x0008, str(len(frames)))  # IS, ascii
+    ds += _el_impl(0x0028, 0x0010, tile, 'US')
+    ds += _el_impl(0x0028, 0x0011, tile, 'US')
+    ds += _el_impl(0x0048, 0x0006, w, 'UL')
+    ds += _el_impl(0x0048, 0x0007, h, 'UL')
+    ds += opt_sq
+    ds += _el_impl(0x7FE0, 0x0010, b''.join(f.tobytes() for f in frames))
+    path = str(tmp_path / 'impl.dcm')
+    with open(path, 'wb') as fh:
+        fh.write(_meta('1.2.840.10008.1.2') + ds)
+
+    r = DicomWsiReader(path)
+    assert r.size == (90, 70)
+    assert r.get_magnification() == 40.0
+    np.testing.assert_array_equal(r.read_region(0, 0, 90, 70), canvas)
+    np.testing.assert_array_equal(r.read_region(33, 10, 40, 50),
+                                  canvas[10:60, 33:73])
+    r.close()
 
 
 def test_wsi_inference_end_to_end_on_dcm(tmp_path):
