@@ -366,6 +366,12 @@ def import_model(torch_dir, output_dir, do_verify):
               help='override the model dir compute precision; int8 runs '
                    'interior convs on the int8 MXU path (fidelity table in '
                    'docs/Performance.md)')
+@click.option('--int8-scope', default=None,
+              type=click.Choice(['all', 'resblocks']),
+              help='which convs --precision int8 quantizes: all (default) '
+                   'or resblocks only — the fused-kernel trunk path that '
+                   'keeps every other conv in the float path '
+                   '(docs/Performance.md "fused int8 resblock kernel")')
 @click.option('--device-quant', type=click.Choice(['auto', 'on', 'off']),
               default='auto', is_flag=False, flag_value='on',
               help='quantification engine: on = one jitted XLA program '
@@ -377,9 +383,12 @@ def import_model(torch_dir, output_dir, do_verify):
 @click.option('--gpu-ids', default=None, help='ignored on TPU (torch compat)')
 def test(input_dir, output_dir, tile_size, model_dir, filename_pattern,
          eager_mode, epoch, seg_intermediate, seg_only, mod_only, color_dapi,
-         color_marker, btoa, max_batch, precision, device_quant, gpu_ids):
+         color_marker, btoa, max_batch, precision, int8_scope, device_quant,
+         gpu_ids):
     if gpu_ids is not None:
         click.echo('note: --gpu-ids is ignored on TPU')
+    if int8_scope is not None:
+        os.environ['DEEPLIIF_INT8_SCOPE'] = int8_scope
     """Run tiled inference + quantification over a directory of images."""
     from PIL import Image
     from .models import infer_modalities
@@ -664,10 +673,15 @@ def compute_statistics(gt_dir, model_output_dir, model_name, image_size,
 @click.option('--precision', default=None,
               type=click.Choice(['float32', 'bfloat16', 'int8']),
               help='override the model dir compute precision')
-def serve(model_dir, host, port, max_batch, precision):
+@click.option('--int8-scope', default=None,
+              type=click.Choice(['all', 'resblocks']),
+              help='which convs --precision int8 quantizes (see `test`)')
+def serve(model_dir, host, port, max_batch, precision, int8_scope):
     """Run the REST API server (POST /api/infer, /api/postprocess) —
     the reference cloud contract, so the ImageJ plugin works unchanged."""
     from .serve import serve as run_server
+    if int8_scope is not None:
+        os.environ['DEEPLIIF_INT8_SCOPE'] = int8_scope
     run_server(model_dir, host, port, max_batch, precision=precision)
 
 
