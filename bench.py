@@ -18,8 +18,12 @@ import json
 import statistics
 import time
 
-import jax
-import jax.numpy as jnp
+# jax is imported lazily in main(): during a TPU-tunnel outage the axon
+# sitecustomize can hang `import jax` ITSELF (not just backend init), so
+# the availability probe must run in a watchdogged subprocess before this
+# process touches jax at all (verify skill, round-3 outage recipe)
+jax = None
+jnp = None
 
 BASELINE_TORCH_GPU_TPS = 2.5  # estimated reference throughput (see docstring)
 BATCH = 128                   # best measured throughput point on v5e (round 2)
@@ -56,34 +60,30 @@ def _bench(dtype, batch):
     return batch / statistics.median(times)
 
 
-def _devices_with_timeout(seconds=600):
-    """jax.devices() in a daemon thread: during a TPU-tunnel outage the
-    platform plugin hangs backend init indefinitely — a structured error
-    line beats a driver-visible stall."""
-    import threading
-    out = {}
-
-    def probe():
-        try:
-            out['devices'] = jax.devices()
-        except Exception as e:  # noqa: BLE001
-            out['error'] = f'{type(e).__name__}: {e}'
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(seconds)
-    if 'devices' in out:
-        return out['devices']
-    raise RuntimeError(out.get(
-        'error', f'backend init did not complete in {seconds}s '
-                 f'(TPU tunnel down?)'))
+def _probe_backend(seconds):
+    """`import jax; jax.devices()` in a watchdogged SUBPROCESS — both the
+    import and backend init can hang indefinitely during a tunnel outage,
+    and a structured error line beats a driver-visible stall."""
+    import subprocess
+    import sys
+    try:
+        proc = subprocess.run(
+            [sys.executable, '-c',
+             'import jax; print("BENCH_BACKEND_OK", len(jax.devices()))'],
+            capture_output=True, text=True, timeout=seconds)
+    except subprocess.TimeoutExpired:
+        raise RuntimeError(f'backend init did not complete in {seconds}s '
+                           f'(TPU tunnel down?)')
+    if 'BENCH_BACKEND_OK' not in proc.stdout:
+        raise RuntimeError(proc.stderr.strip().splitlines()[-1]
+                           if proc.stderr.strip() else 'backend init failed')
 
 
 def main():
     import os
     try:
-        dev = _devices_with_timeout(
-            int(os.environ.get('DEEPLIIF_BENCH_INIT_TIMEOUT', '600')))[0]
+        _probe_backend(
+            int(os.environ.get('DEEPLIIF_BENCH_INIT_TIMEOUT', '600')))
     except RuntimeError as e:
         print(json.dumps({
             'metric': '512x512 tiles/sec/chip (4-modality+seg ensemble, bf16)',
@@ -91,6 +91,10 @@ def main():
             'error': f'TPU backend unavailable: {e}; last recorded result '
                      f'in BENCH_r02.json (71.7 tiles/s)'}))
         return
+    global jax, jnp
+    import jax                      # noqa: F811
+    import jax.numpy as jnp         # noqa: F811
+    dev = jax.devices()[0]
     batch = BATCH
     try:
         tps_bf16 = _bench(jnp.bfloat16, batch)

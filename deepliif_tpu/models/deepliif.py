@@ -217,15 +217,11 @@ def _translators_fused(x, d: DeepLIIFDef, params_g=None):
     if not ok:
         return False
     if d.quant_int8:
-        if params_g is None or not isinstance(params_g, dict):
-            return False
         n_blocks = int(d.net_g[0].split('_')[1].replace('blocks', ''))
-        for i in range(n_blocks):
-            for j in (1, 2):
-                pp = params_g.get(f'res{i}_conv{j}')
-                if not isinstance(pp, dict) or 'w_q' not in pp \
-                        or 'a_s' not in pp:
-                    return False
+        # the SAME gate resnet.apply uses (incl. the DEEPLIIF_FUSED_INT8
+        # kill switch): int8 mode must either take the fused int8 chain
+        # or stay on the unfused XLA int8 path — never the float kernel
+        return resnet.int8_chain_ready(params_g, n_blocks)
     return True
 
 

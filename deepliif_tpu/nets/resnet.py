@@ -86,6 +86,27 @@ def _fused_ok(x, norm, padding_type, train, use_dropout):
     return jax.default_backend() == 'tpu'
 
 
+def int8_chain_ready(params, n_blocks):
+    """True when every resblock conv carries static int8 quantization
+    params (w_q + calibrated a_s) and DEEPLIIF_FUSED_INT8 isn't 0 — the
+    single gate for the fused int8 chain, shared by apply() and the
+    model-level unroll decision (models.deepliif._translators_fused) so
+    the kill switch cannot leave the two halves disagreeing (a divergence
+    that would silently run the resblocks on the float kernel)."""
+    import os
+    if os.environ.get('DEEPLIIF_FUSED_INT8', '1') == '0':
+        return False
+    if not isinstance(params, dict):
+        return False
+    for i in range(n_blocks):
+        for j in (1, 2):
+            pp = params.get(f'res{i}_conv{j}')
+            if not isinstance(pp, dict) or 'w_q' not in pp \
+                    or 'a_s' not in pp:
+                return False
+    return True
+
+
 def fused_applicable(h, w, ngf, norm, padding_type, train=False,
                      dtype=None):
     """Would the fused resblock path engage for an (h, w) input of compute
@@ -194,12 +215,7 @@ def apply(p, x, *, n_blocks=9, norm='batch', use_dropout=True,
         from ..ops import fused_resblock as FR
         # off-TPU (DEEPLIIF_FUSED=1 in tests) runs the kernel interpreted
         interp = jax.default_backend() != 'tpu'
-        int8_ready = (
-            os.environ.get('DEEPLIIF_FUSED_INT8', '1') != '0'
-            and all('w_q' in p[f'res{i}_conv{j}']
-                    and 'a_s' in p[f'res{i}_conv{j}']
-                    for i in range(n_blocks) for j in (1, 2)))
-        if int8_ready:
+        if int8_chain_ready(p, n_blocks):
             # statically-quantized resblocks run the int8 MXU kernel:
             # quantize/dequant stay in VMEM, so this is the fused
             # quantized-conv path the XLA int8 mode cannot express

@@ -56,20 +56,26 @@ TAG_ROW_POS = (0x0048, 0x021F)   # Row Position In Total Image Pixel Matrix
 
 def _looks_like_sq(buf, pos, length):
     """Implicit-VR SQ heuristic: a non-empty sequence value begins with an
-    (FFFE,E000) item tag (the standard dictionary-free disambiguation)."""
-    if length == 0 or pos + 8 > len(buf):
+    (FFFE,E000) item tag whose declared length fits inside the element
+    (the standard dictionary-free disambiguation; the fit check keeps
+    binary values that merely start with FE FF 00 E0 from misparsing)."""
+    if length < 8 or pos + 8 > len(buf):
         return False
     group, elem = struct.unpack_from('<HH', buf, pos)
-    return (group, elem) == (0xFFFE, 0xE000)
+    if (group, elem) != (0xFFFE, 0xE000):
+        return False
+    item_len = struct.unpack_from('<I', buf, pos + 4)[0]
+    return item_len == 0xFFFFFFFF or (length == 0xFFFFFFFF
+                                      or 8 + item_len <= length)
 
 
 def _parse_elements(buf, pos, end, out, explicit=True):
     """Parse data elements in [pos, end) into ``out`` as (tag,
     vr, value_bytes) leaves, descending into sequences. Stops at ``end`` or at
     an (FFFE,E00D) item delimiter (consumed — the caller is an
-    undefined-length item). Returns (next_pos, pixel_value_offset|None);
-    the offset is only set for undefined-length (encapsulated) pixel data,
-    whose fragments the caller parses.
+    undefined-length item). Returns (next_pos, px|None) where px is the
+    pixel data's (value_offset, declared_length) — length 0xFFFFFFFF for
+    encapsulated data, whose fragments the caller parses.
 
     ``explicit`` False parses Implicit VR Little Endian: no VR in the
     stream (leaves carry b'??'; consumers fall back to a per-tag VR
@@ -94,10 +100,16 @@ def _parse_elements(buf, pos, end, out, explicit=True):
             vr = b'??'
             length = struct.unpack_from('<I', buf, pos)[0]
             pos += 4
-        if tag == TAG_PIXEL_DATA and length == 0xFFFFFFFF:
-            return pos, pos            # encapsulated: fragments follow
+        if tag == TAG_PIXEL_DATA:
+            # value offset for native (defined length) or encapsulated
+            # (undefined, fragments follow); pixel data is the last
+            # element of a valid instance, so parsing stops here — this
+            # also keeps the whole-slide value out of the leaf list (the
+            # mmap stays unmaterialized) and exempts it from the
+            # implicit-VR sequence heuristic below
+            return pos, (pos, length)
         is_sq = (vr == b'SQ' or (vr == b'UN' and length == 0xFFFFFFFF)
-                 or (not explicit
+                 or (not explicit and tag not in _TAG_VRS
                      and (length == 0xFFFFFFFF
                           or _looks_like_sq(buf, pos, length))))
         if is_sq:
@@ -141,6 +153,9 @@ _TAG_VRS = {
     TAG_ROWS: b'US', TAG_COLS: b'US', TAG_SPP: b'US',
     TAG_FRAMES: b'IS', TAG_MATRIX_COLS: b'UL', TAG_MATRIX_ROWS: b'UL',
     TAG_COL_POS: b'SL', TAG_ROW_POS: b'SL', TAG_OBJECTIVE: b'DS',
+    (0x0028, 0x0100): b'US',    # BitsAllocated
+    (0x0028, 0x0006): b'US',    # PlanarConfiguration
+    (0x0028, 0x0004): b'CS',    # PhotometricInterpretation
 }
 
 
@@ -181,11 +196,17 @@ class DicomWsiReader:
     """Random-access region reader over one DICOM WSI instance."""
 
     def __init__(self, path):
+        import mmap
         self.path = path
-        with open(path, 'rb') as fh:
-            buf = fh.read()
+        self._fh = open(path, 'rb')
+        # mmap, not read(): parsing touches only headers, and frames are
+        # decoded O(region) on demand — a multi-GB level-0 instance never
+        # materializes in RAM (the streaming contract of utils/wsi.py)
+        buf = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
         self._buf = buf
         if buf[128:132] != b'DICM':
+            buf.close()
+            self._fh.close()
             raise ValueError(f'not a DICOM part-10 file: {path}')
 
         # file meta (always explicit VR LE); (0002,0000) meta group length
@@ -229,21 +250,42 @@ class DicomWsiReader:
             mw, mh = self.tile_w, self.tile_h
         self.size = (mw, mh)
         self.tiles_across = (mw + self.tile_w - 1) // self.tile_w
+        if self._positions is not None \
+                and len(self._positions) != self.n_frames:
+            raise ValueError(
+                f'{len(self._positions)} per-frame plane positions for '
+                f'{self.n_frames} frames')
 
+        if px_off is None:
+            raise ValueError('DICOM instance has no pixel data')
         if self.codec is not None:
-            if px_off is None:
-                raise ValueError('encapsulated DICOM without pixel data')
-            self._frames = _parse_fragments(buf, px_off)
+            self._frames = _parse_fragments(buf, px_off[0])
             if len(self._frames) != self.n_frames:
                 raise ValueError(
                     f'{len(self._frames)} fragments for {self.n_frames} '
                     f'frames (multi-fragment frames unsupported)')
         else:
-            px = tags.get(TAG_PIXEL_DATA)
-            if px is None:
-                raise ValueError('DICOM instance has no pixel data')
-            self._native = px[1]
+            # native frames: only 8-bit interleaved RGB/grayscale is
+            # decodable without a transform — reject the rest loudly
+            # rather than reshaping garbage
+            bits = _int((0x0028, 0x0100), 8)
+            planar = _int((0x0028, 0x0006), 0)
+            photo = tags.get((0x0028, 0x0004))
+            photo = (photo[1].decode('ascii', errors='replace')
+                     .strip('\x00 ') if photo else 'RGB')
+            if bits != 8 or planar != 0 \
+                    or photo not in ('RGB', 'MONOCHROME1', 'MONOCHROME2'):
+                raise ValueError(
+                    f'unsupported native pixel format (BitsAllocated='
+                    f'{bits}, PlanarConfiguration={planar}, '
+                    f'PhotometricInterpretation={photo})')
             self._frame_bytes = self.tile_h * self.tile_w * self.spp
+            self._px_off = px_off[0]
+            need = self.n_frames * self._frame_bytes
+            if px_off[1] < need or self._px_off + need > len(buf):
+                raise ValueError(
+                    f'pixel data truncated: need {need} bytes for '
+                    f'{self.n_frames} frames, have {px_off[1]}')
 
     def _frame_positions(self, leaves):
         """TILED_SPARSE per-frame (col, row) origins, 0-based, in leaf
@@ -252,9 +294,12 @@ class DicomWsiReader:
                 for t, vr, v in leaves if t == TAG_COL_POS]
         rows = [_decode_int(vr, v, tag=t) - 1
                 for t, vr, v in leaves if t == TAG_ROW_POS]
-        if cols and len(cols) == len(rows):
-            return list(zip(cols, rows))
-        return None
+        if not cols and not rows:
+            return None
+        if len(cols) != len(rows):
+            raise ValueError(f'{len(cols)} column vs {len(rows)} row '
+                             f'plane positions')
+        return list(zip(cols, rows))
 
     def _frame_origin(self, k):
         if self._positions is not None:
@@ -272,9 +317,8 @@ class DicomWsiReader:
             if arr.ndim == 2:
                 arr = arr[:, :, None]
             return arr
-        start = k * self._frame_bytes
-        arr = np.frombuffer(self._native[start:start + self._frame_bytes],
-                            np.uint8)
+        start = self._px_off + k * self._frame_bytes
+        arr = np.frombuffer(self._buf, np.uint8, self._frame_bytes, start)
         return arr.reshape(self.tile_h, self.tile_w, self.spp)
 
     def get_magnification(self):
@@ -286,14 +330,28 @@ class DicomWsiReader:
         except ValueError:
             return None
 
+    def _intersecting_frames(self, x, y, w, h):
+        if self._positions is not None:
+            # sparse: no grid invariant — scan (rare layout, small counts)
+            return [k for k in range(self.n_frames)
+                    if not (self._positions[k][0] >= x + w
+                            or self._positions[k][1] >= y + h
+                            or self._positions[k][0] + self.tile_w <= x
+                            or self._positions[k][1] + self.tile_h <= y)]
+        # TILED_FULL: direct row/col range indexing, O(region) not O(slide)
+        ta = self.tiles_across
+        j0, j1 = y // self.tile_h, min((y + h - 1) // self.tile_h,
+                                       (self.size[1] - 1) // self.tile_h)
+        i0, i1 = x // self.tile_w, min((x + w - 1) // self.tile_w, ta - 1)
+        return [j * ta + i
+                for j in range(j0, j1 + 1) for i in range(i0, i1 + 1)
+                if j * ta + i < self.n_frames]
+
     def read_region(self, x, y, w, h):
         """(h, w, 3) uint8 region of the total pixel matrix."""
         out = np.zeros((h, w, 3), np.uint8)
-        for k in range(self.n_frames):
+        for k in self._intersecting_frames(x, y, w, h):
             fx, fy = self._frame_origin(k)
-            if fx >= x + w or fy >= y + h or fx + self.tile_w <= x \
-                    or fy + self.tile_h <= y:
-                continue
             tile = self._decode_frame(k)
             if tile.shape[2] == 1:
                 tile = np.repeat(tile, 3, axis=2)
@@ -308,4 +366,7 @@ class DicomWsiReader:
         return None
 
     def close(self):
-        self._buf = None
+        if self._buf is not None:
+            self._buf.close()
+            self._fh.close()
+            self._buf = None

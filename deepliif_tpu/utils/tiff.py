@@ -426,15 +426,23 @@ def parse_magnification(description):
     for pat in (r'AppMag\s*=\s*([0-9.]+)',
                 r'NominalMagnification\s*=\s*"?([0-9.]+)',
                 r'Magnification\s*[=:]\s*"?([0-9.]+)',
-                r'\|Mag\s*=\s*([0-9.]+)',
-                r'<objective>\s*([0-9.]+)\s*</objective>'):  # Leica .scn XML
+                r'\|Mag\s*=\s*([0-9.]+)'):
         m = re.search(pat, description)
         if m:
             try:
                 return float(m.group(1))
             except ValueError:
                 continue
-    return None
+    # Leica .scn collection XML lists EVERY image's objective (the macro's
+    # low-power one first) — the main image's is the highest
+    objs = []
+    for m in re.findall(r'<objective>\s*([0-9.]+)\s*</objective>',
+                        description):
+        try:
+            objs.append(float(m))
+        except ValueError:
+            pass
+    return max(objs) if objs else None
 
 
 class TiledTiffReader:
@@ -587,7 +595,10 @@ class TiledTiffReader:
             lens = page.get('source_lens')
             if lens is not None and lens > 0:
                 return float(lens)
-        for page in self.pages:
+        # main page's description first: macro/thumbnail pages may carry
+        # their own (lower) magnification metadata
+        order = self.pages[self._base:] + self.pages[:self._base]
+        for page in order:
             mag = parse_magnification(page.get('description'))
             if mag is not None:
                 return mag

@@ -71,12 +71,14 @@ def drift(mode, batch=2):
     import numpy as np
     from deepliif_tpu.models import deepliif as dl
     d_q, params_q = build(mode)
-    d_f, _ = build('bf16')
-    # bf16 reference shares the float weights the quantized tree keeps
+    d_f, params_f = build('bf16')
+    # the bf16 reference must run the FLOAT param tree: path selection is
+    # param-driven ('w_q' in the conv dict), so feeding it the quantized
+    # tree would compare the int8 path against itself (always-zero drift)
     x = jax.random.uniform(jax.random.PRNGKey(2), (batch, 512, 512, 3),
                            jnp.float32, -1, 1).astype(jnp.bfloat16)
     mq, sq = jax.jit(lambda p, x: dl.generator_forward(p, x, d_q))(params_q, x)
-    mf, sf = jax.jit(lambda p, x: dl.generator_forward(p, x, d_f))(params_q, x)
+    mf, sf = jax.jit(lambda p, x: dl.generator_forward(p, x, d_f))(params_f, x)
     to_u8 = lambda t: np.asarray(((jnp.asarray(t, jnp.float32) + 1) * 127.5)
                                  .clip(0, 255).astype(jnp.uint8))
     du8 = max(np.abs(to_u8(mq).astype(int) - to_u8(mf).astype(int)).max(),

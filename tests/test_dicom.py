@@ -285,3 +285,71 @@ def test_wsi_inference_end_to_end_on_dcm(tmp_path):
     assert any(f.startswith('slide_Seg') and f.endswith('.ome.tiff')
                for f in files), files
     assert 'slide.json' in files
+
+
+def test_implicit_pixel_data_resembling_item_tag(tmp_path):
+    """Native pixel data whose first bytes equal an (FFFE,E000) item tag
+    must not be misparsed as a sequence by the implicit-VR heuristic."""
+    tile = 32
+    canvas = np.zeros((32, 32, 3), np.uint8)
+    canvas[0, 0] = (0xFE, 0xFF, 0x00)   # little-endian FFFE...
+    canvas[0, 1] = (0xE0, 0x40, 0x00)   # ...E000 + plausible length bytes
+    ds = b''
+    ds += _el_impl(0x0028, 0x0002, 3, 'US')
+    ds += _el_impl(0x0028, 0x0008, '1')
+    ds += _el_impl(0x0028, 0x0010, tile, 'US')
+    ds += _el_impl(0x0028, 0x0011, tile, 'US')
+    ds += _el_impl(0x0048, 0x0006, 32, 'UL')
+    ds += _el_impl(0x0048, 0x0007, 32, 'UL')
+    ds += _el_impl(0x7FE0, 0x0010, canvas.tobytes())
+    path = str(tmp_path / 'p.dcm')
+    with open(path, 'wb') as fh:
+        fh.write(_meta('1.2.840.10008.1.2') + ds)
+    r = DicomWsiReader(path)
+    np.testing.assert_array_equal(r.read_region(0, 0, 32, 32), canvas)
+    r.close()
+
+
+def test_mismatched_plane_positions_raise(tmp_path, canvas):
+    """Fewer per-frame positions than frames must fail loudly, not
+    assemble the slide wrong or crash mid-read."""
+    path = _wsi_dcm(tmp_path, 'mm.dcm', canvas, sparse=True)
+    raw = bytearray(open(path, 'rb').read())
+    # drop the last plane-position pair by renaming its tags
+    off = raw.rfind(struct.pack('<HH', 0x0048, 0x021E))
+    raw[off:off + 4] = struct.pack('<HH', 0x0049, 0x021E)
+    off = raw.rfind(struct.pack('<HH', 0x0048, 0x021F))
+    raw[off:off + 4] = struct.pack('<HH', 0x0049, 0x021F)
+    p2 = tmp_path / 'mm2.dcm'
+    p2.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match='plane positions'):
+        DicomWsiReader(str(p2))
+
+
+def test_unsupported_native_pixel_format_raises(tmp_path):
+    """16-bit / planar / YBR native frames must be rejected, not silently
+    reshaped into garbage."""
+    tile = 32
+    ds = b''
+    ds += _el_impl(0x0028, 0x0002, 3, 'US')
+    ds += _el_impl(0x0028, 0x0008, '1')
+    ds += _el_impl(0x0028, 0x0010, tile, 'US')
+    ds += _el_impl(0x0028, 0x0011, tile, 'US')
+    ds += _el_impl(0x0028, 0x0100, 16, 'US')    # BitsAllocated=16
+    ds += _el_impl(0x0048, 0x0006, 32, 'UL')
+    ds += _el_impl(0x0048, 0x0007, 32, 'UL')
+    ds += _el_impl(0x7FE0, 0x0010, b'\x00' * (tile * tile * 3 * 2))
+    path = str(tmp_path / 'b16.dcm')
+    with open(path, 'wb') as fh:
+        fh.write(_meta('1.2.840.10008.1.2') + ds)
+    with pytest.raises(ValueError, match='unsupported native pixel'):
+        DicomWsiReader(path)
+
+
+def test_truncated_pixel_data_raises(tmp_path, canvas):
+    path = _wsi_dcm(tmp_path, 't.dcm', canvas)
+    raw = open(path, 'rb').read()
+    p2 = tmp_path / 'trunc.dcm'
+    p2.write_bytes(raw[:-2048])
+    with pytest.raises(ValueError):
+        DicomWsiReader(str(p2))

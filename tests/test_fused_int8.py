@@ -230,3 +230,29 @@ def test_int8_scope_resblocks_quantizes_only_resblock_convs():
     # default scope still quantizes the interior stage convs
     q_all = L.quantize_conv_tree_int8(p, act_scales=2.0)
     assert 'w_q' in q_all['down1_conv']
+
+
+def test_fused_int8_kill_switch_disables_fused_path(monkeypatch):
+    """DEEPLIIF_FUSED_INT8=0 must route calibrated int8 back to the
+    unfused XLA int8 path — NOT through the float fused kernel (the gate
+    is shared between resnet.apply and _translators_fused)."""
+    import os
+    from deepliif_tpu.models import deepliif as dl
+    from deepliif_tpu.nets import layers as L, resnet
+
+    d = dl.DeepLIIFDef(modalities_no=2, net_g=('resnet_6blocks',) * 2,
+                       net_gs=('unet_32',) * 3, ngf=32, ndf=8,
+                       seg_weights=(0.4, 0.3, 0.3), padding_type='zero',
+                       quant_int8=True)
+    params = dl.init_params(jax.random.PRNGKey(0), d,
+                            with_discriminators=False)
+    params = L.quantize_conv_tree_int8(params, act_scales=4.0)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    monkeypatch.setenv('DEEPLIIF_FUSED', '1')
+    assert dl._translators_fused(x, d, params['G'])
+    assert resnet.int8_chain_ready(
+        jax.tree_util.tree_map(lambda a: a[0], params['G']), 6)
+    monkeypatch.setenv('DEEPLIIF_FUSED_INT8', '0')
+    assert not dl._translators_fused(x, d, params['G'])
+    assert not resnet.int8_chain_ready(
+        jax.tree_util.tree_map(lambda a: a[0], params['G']), 6)

@@ -473,3 +473,18 @@ def test_macro_page_does_not_shadow_plain_pyramids(tmp_path):
     assert r.get_magnification() == 40.0
     np.testing.assert_array_equal(r.read_region(0, 0, 260, 200), canvas)
     r.close()
+
+
+def test_scn_collection_xml_macro_objective_listed_first(tmp_path):
+    """Real Leica collection XML lists the macro image's low-power
+    objective before the main image's — the parser must not return the
+    first match."""
+    from deepliif_tpu.utils.tiff import parse_magnification
+    xml = ('<scn><collection>'
+           '<image name="macro"><scanSettings><objectiveSettings>'
+           '<objective>0.8</objective></objectiveSettings></scanSettings>'
+           '</image>'
+           '<image name="main"><scanSettings><objectiveSettings>'
+           '<objective>40</objective></objectiveSettings></scanSettings>'
+           '</image></collection></scn>')
+    assert parse_magnification(xml) == 40.0
