@@ -109,6 +109,16 @@ def main():
         mode='int8_fused_resblocks')
     if os.environ.get('SKIP_BF16') != '1':
         run('bf16_b128', bench, batch=128, mode='bf16')
+    # int8 frees ~1.2 MB of resident VMEM (int8 weights + q blocks), so a
+    # taller row chunk may fit where bf16's could not — fewer grid steps,
+    # less per-step Mosaic overhead
+    for chunk in ('8', '32'):
+        os.environ['DEEPLIIF_FUSED_CHUNK'] = chunk
+        try:
+            run(f'int8_fused_resblocks_b128_chunk{chunk}', bench,
+                batch=128, mode='int8_fused_resblocks')
+        finally:
+            os.environ.pop('DEEPLIIF_FUSED_CHUNK', None)
     run('drift_resblocks', drift, mode='int8_fused_resblocks')
     print(json.dumps(out))
 
