@@ -450,13 +450,23 @@ def _quantize_u8(y):
     return ((y.astype(jnp.float32) + 1.0) * 127.5).astype(jnp.uint8)
 
 
-@functools.lru_cache(maxsize=8)
 def init_nets(model_dir, phase='test', epoch='latest', max_batch=None,
               n_devices=None, precision=None):
     """Cached session construction (reference init_nets, models/__init__.py:
     158-219; net grouping / GPU placement is obsolete — one program that is
     batch-sharded over all visible chips). ``precision`` overrides the model
-    dir's configured compute precision (float32 | bfloat16 | int8)."""
+    dir's configured compute precision (float32 | bfloat16 | int8).
+
+    The cache key is normalized (all-positional through the inner cached
+    call), so init_nets(md) and init_nets(md, epoch='latest') share one
+    session instead of loading the params twice."""
+    return _init_nets_cached(model_dir, phase, str(epoch), max_batch,
+                             n_devices, precision)
+
+
+@functools.lru_cache(maxsize=8)
+def _init_nets_cached(model_dir, phase, epoch, max_batch, n_devices,
+                      precision):
     return InferenceSession(model_dir, phase=phase, epoch=epoch,
                             max_batch=max_batch, n_devices=n_devices,
                             precision=precision)
@@ -715,7 +725,12 @@ def infer_modalities(img, tile_size, model_dir, eager_mode=False,
                      return_seg_intermediate=False, seg_only=False,
                      mod_only=False, seg_weights=None, max_batch=None,
                      device_quant=False, precision=None):
-    """Full tile-to-scoring pipeline (reference models/__init__.py:613-660)."""
+    """Full tile-to-scoring pipeline (reference models/__init__.py:613-660).
+
+    ``color_dapi`` / ``color_marker`` are accepted-and-inert, matching the
+    reference at v1.2.6 exactly: its colorization block is commented out
+    (reference models/__init__.py:555-564), so the flags thread through
+    the whole stack and change nothing there either."""
     session = init_nets(model_dir,
                         epoch=str(getattr(opt, 'epoch', 'latest') if opt
                                   is not None else 'latest'),

@@ -31,25 +31,37 @@ import numpy as np
 RESOLUTION_TILE_SIZE = {'40x': 512, '20x': 256, '10x': 128}
 
 
+class _BadRequest(ValueError):
+    """Client-visible request validation error -> HTTP 400."""
+
+
 def parse_multipart(body, content_type):
-    """Minimal multipart/form-data parser -> {field_name: bytes}."""
+    """Minimal multipart/form-data parser -> {field_name: bytes}.
+
+    Content bytes are preserved exactly: the CRLF before each boundary
+    belongs to the DELIMITER (RFC 2046 §5.1.1), so splitting on
+    b'\\r\\n--boundary' removes precisely it — an rstrip would corrupt
+    binary uploads whose payload happens to end in CR/LF or '--'."""
     m = re.search(r'boundary=("?)([^";]+)\1', content_type)
     if not m:
         raise ValueError('no multipart boundary')
-    boundary = m.group(2).encode()
-    parts = body.split(b'--' + boundary)
+    delim = b'--' + m.group(2).encode()
+    if body.startswith(delim):
+        body = b'\r\n' + body   # first delimiter carries no preceding CRLF
     fields = {}
-    for part in parts:
-        if b'\r\n\r\n' not in part:
+    for seg in body.split(b'\r\n' + delim)[1:]:
+        if seg.startswith(b'--'):
+            break               # closing delimiter
+        if seg.startswith(b'\r\n'):
+            seg = seg[2:]
+        elif seg.startswith(b'\n'):
+            seg = seg[1:]       # tolerate bare-LF transports
+        headers, sep, content = seg.partition(b'\r\n\r\n')
+        if not sep:
             continue
-        headers, _, content = part.partition(b'\r\n\r\n')
         nm = re.search(rb'name="([^"]+)"', headers)
-        if not nm:
-            continue
-        content = content.rstrip(b'\r\n')
-        if content.endswith(b'--'):
-            content = content[:-2].rstrip(b'\r\n')
-        fields[nm.group(1).decode()] = content
+        if nm:
+            fields[nm.group(1).decode()] = content
     return fields
 
 
@@ -82,7 +94,8 @@ def _parse_thresholds(q):
 
 
 def make_handler(model_dir, max_batch=None, batch_workers=4,
-                 max_retained_tasks=512, precision=None):
+                 max_retained_tasks=512, max_pending_tasks=256,
+                 precision=None):
     from collections import OrderedDict
     from concurrent.futures import ThreadPoolExecutor
 
@@ -187,7 +200,7 @@ def make_handler(model_dir, max_batch=None, batch_workers=4,
         @staticmethod
         def _infer_payload(fields, q):
             if 'img' not in fields:
-                raise KeyError("missing file parameter 'img'")
+                raise _BadRequest("missing file parameter 'img'")
             img = Image.open(io.BytesIO(fields['img'])).convert('RGB')
             resolution = q.get('resolution', ['40x'])[0]
             tile_size = RESOLUTION_TILE_SIZE.get(resolution, 512)
@@ -220,8 +233,11 @@ def make_handler(model_dir, max_batch=None, batch_workers=4,
         def _infer(self, fields, q):
             try:
                 self._json(200, self._infer_payload(fields, q))
-            except KeyError as e:
-                self._json(400, {'error': str(e).strip("'")})
+            except _BadRequest as e:
+                # only OUR validation errors are client errors — a broad
+                # KeyError catch would report internal dict-lookup bugs
+                # (e.g. an unregistered model name) as 400s
+                self._json(400, {'error': str(e)})
 
         def _batch_infer(self, fields, q):
             """Async submit + poll (the ImageJ plugin contract,
@@ -229,6 +245,14 @@ def make_handler(model_dir, max_batch=None, batch_workers=4,
             import uuid
             if 'img' not in fields:
                 self._json(400, {'error': "missing file parameter 'img'"})
+                return
+            with tasks_lock:
+                pending = sum(1 for v in tasks.values()
+                              if v['state'] == 'PENDING')
+            if pending >= max_pending_tasks:
+                # PENDING tasks (each closure holds the request body) must
+                # be bounded too, or a submit flood OOMs the server
+                self._json(503, {'error': 'batch queue full, retry later'})
                 return
             task_id = uuid.uuid4().hex
             _store_task(task_id, {'state': 'PENDING', 'result': None})

@@ -21,6 +21,8 @@ from __future__ import annotations
 import queue
 import threading
 
+import numpy as np
+
 
 class _Work:
     __slots__ = ('tiles', 'kwargs', 'event', 'result', 'error')
@@ -44,6 +46,7 @@ class DispatchSession:
     def __init__(self, session):
         self._session = session
         self._q = queue.Queue()
+        self._closed = False
         # serializes ALL wrapped-session calls — the dispatcher loop and the
         # bypass path below — so InferenceSession's jit cache never races
         self._device_lock = threading.Lock()
@@ -89,7 +92,9 @@ class DispatchSession:
             'seg_only': bool(seg_only),
             'mod_only': bool(mod_only),
         }
-        w = _Work(tiles_u8, kwargs)
+        if self._closed:
+            raise RuntimeError('DispatchSession is closed')
+        w = _Work(np.asarray(tiles_u8), kwargs)
         self._q.put(w)
         w.event.wait()
         if w.error is not None:
@@ -97,34 +102,37 @@ class DispatchSession:
         return w.result
 
     def _loop(self):
-        import numpy as np
+        # Every path out of this loop must resolve each dequeued _Work —
+        # a caller blocked on event.wait() has no timeout, so an escaped
+        # exception (or the close sentinel) would otherwise hang every
+        # in-flight and future request.
         while True:
             first = self._q.get()
             if first is None:
-                return
+                break
             group = [first]
-            # drain everything already queued that can share this device
-            # call: same flags and same tile shape
-            leftover = []
-            while True:
-                try:
-                    nxt = self._q.get_nowait()
-                except queue.Empty:
-                    break
-                if nxt is None:
-                    leftover.append(None)
-                    break
-                same = (nxt.kwargs == first.kwargs
-                        and nxt.tiles.shape[1:] == first.tiles.shape[1:])
-                total = sum(len(g.tiles) for g in group)
-                if same and total + len(nxt.tiles) <= self._session.max_batch:
-                    group.append(nxt)
-                else:
-                    leftover.append(nxt)
-            for item in leftover:
-                self._q.put(item)
-
             try:
+                # drain everything already queued that can share this
+                # device call: same flags and same tile shape
+                leftover = []
+                while True:
+                    try:
+                        nxt = self._q.get_nowait()
+                    except queue.Empty:
+                        break
+                    if nxt is None:
+                        leftover.append(None)
+                        break
+                    same = (nxt.kwargs == first.kwargs
+                            and nxt.tiles.shape[1:] == first.tiles.shape[1:])
+                    total = sum(len(g.tiles) for g in group)
+                    if same and total + len(nxt.tiles) <= self._session.max_batch:
+                        group.append(nxt)
+                    else:
+                        leftover.append(nxt)
+                for item in leftover:
+                    self._q.put(item)
+
                 tiles = (first.tiles if len(group) == 1 else
                          np.concatenate([g.tiles for g in group]))
                 sw = first.kwargs['seg_weights']
@@ -144,10 +152,24 @@ class DispatchSession:
                     g.result = {k: v[pos:pos + n] for k, v in out.items()}
                     pos += n
                     g.event.set()
-            except Exception as e:  # noqa: BLE001 — propagate to callers
+            except BaseException as e:  # noqa: BLE001 — propagate to callers
                 for g in group:
-                    g.error = e
-                    g.event.set()
+                    if not g.event.is_set():
+                        g.error = e if isinstance(e, Exception) else \
+                            RuntimeError(f'dispatcher died: {e!r}')
+                        g.event.set()
+                if not isinstance(e, Exception):
+                    raise
+        # closed: fail anything still queued instead of leaving it blocked
+        while True:
+            try:
+                w = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if w is not None:
+                w.error = RuntimeError('DispatchSession is closed')
+                w.event.set()
 
     def close(self):
+        self._closed = True
         self._q.put(None)

@@ -176,9 +176,22 @@ def infer_results_for_wsi(input_dir, filename, output_dir, model_dir,
     canvases = {}
     scoring_total = {'num_total': 0, 'num_pos': 0, 'num_neg': 0}
 
+    def _accumulate(scoring):
+        """Flat DeepLIIF scoring or the Ext/SDG per-seg nested dict
+        ({'Seg1': {...}, ...}) — both sum into the slide totals."""
+        if not scoring:
+            return
+        parts = (list(scoring.values())
+                 if all(isinstance(v, dict) for v in scoring.values())
+                 else [scoring])
+        for part in parts:
+            for k in scoring_total:
+                scoring_total[k] += part.get(k, 0)
+
     # double-buffered region reads: the next region loads on a worker thread
     # while the current one runs inference (host IO overlaps device compute)
     import queue
+    import shutil
     import threading
     coords = [(rx, ry, min(region_size, size_x - rx), min(region_size, size_y - ry))
               for ry in range(0, size_y, region_size)
@@ -187,35 +200,37 @@ def infer_results_for_wsi(input_dir, filename, output_dir, model_dir,
     threading.Thread(target=_region_producer, args=(reader, coords, q),
                      daemon=True).start()
 
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        if item[0] == 'error':
-            raise item[1]
-        (rx, ry, rw, rh), region = item
-        img = Image.fromarray(region)
-        images, scoring = infer_modalities(img, tile_size, model_dir,
-                                           opt=session.opt,
-                                           seg_only=seg_only,
-                                           color_dapi=color_dapi,
-                                           color_marker=color_marker,
-                                           return_seg_intermediate=seg_intermediate)
-        for name, im in images.items():
-            if name not in canvases:
-                canvases[name] = _new_canvas(name)
-            canvases[name][ry:ry + rh, rx:rx + rw] = np.asarray(im)[:rh, :rw]
-        if scoring:
-            for k in scoring_total:
-                scoring_total[k] += scoring.get(k, 0)
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if item[0] == 'error':
+                raise item[1]
+            (rx, ry, rw, rh), region = item
+            img = Image.fromarray(region)
+            images, scoring = infer_modalities(img, tile_size, model_dir,
+                                               opt=session.opt,
+                                               seg_only=seg_only,
+                                               color_dapi=color_dapi,
+                                               color_marker=color_marker,
+                                               return_seg_intermediate=seg_intermediate)
+            for name, im in images.items():
+                if name not in canvases:
+                    canvases[name] = _new_canvas(name)
+                canvases[name][ry:ry + rh, rx:rx + rw] = np.asarray(im)[:rh, :rw]
+            _accumulate(scoring)
 
-    reader.close()
-    stem = filename.rsplit('.', 1)[0]
-    for name, canvas in canvases.items():
-        _write_pyramid(os.path.join(output_dir, f'{stem}_{name}.ome.tiff'), canvas)
-    import shutil
-    del canvases
-    shutil.rmtree(canvas_dir, ignore_errors=True)
+        stem = filename.rsplit('.', 1)[0]
+        for name, canvas in canvases.items():
+            _write_pyramid(os.path.join(output_dir, f'{stem}_{name}.ome.tiff'),
+                           canvas)
+    finally:
+        # a mid-slide failure must not leave multi-GB memmap canvases in
+        # the user's output directory
+        reader.close()
+        del canvases
+        shutil.rmtree(canvas_dir, ignore_errors=True)
     scoring_total['percent_pos'] = (
         round(scoring_total['num_pos'] / scoring_total['num_total'] * 100, 1)
         if scoring_total['num_total'] > 0 else 0)
@@ -229,7 +244,7 @@ def infer_cells_for_wsi(input_dir, filename, output_dir, model_dir, tile_size,
                         region_size=20000, version=4):
     """Per-region encoded cell data with global coordinate offsets and
     averaged auto-thresholds (reference models/__init__.py:785-947)."""
-    from ..models import infer_modalities, init_nets, find_marker_key
+    from ..models import inference, init_nets, find_marker_key
     from .. import postprocessing as pp
 
     os.makedirs(output_dir, exist_ok=True)
@@ -253,40 +268,49 @@ def infer_cells_for_wsi(input_dir, filename, output_dir, model_dir, tile_size,
     threading.Thread(target=_region_producer, args=(reader, coords, q),
                      daemon=True).start()
 
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        if item[0] == 'error':
-            raise item[1]
-        (rx, ry, rw, rh), region = item
-        img = Image.fromarray(region)
-        images, _ = infer_modalities(img, tile_size, model_dir,
-                                     opt=session.opt, seg_only=True)
-        marker_key = find_marker_key(images)
-        # v3/4 use the inferred marker; v5/6 use optical density of the
-        # ORIGINAL region (reference models/__init__.py:785-947).
-        # Encode after coordinate offsetting, so run the dict version.
-        if version in (5, 6):
-            data = pp.compute_cell_results(images['Seg'], img, resolution,
-                                           version=5)
-        else:
-            data = pp.compute_cell_results(
-                images['Seg'], images.get(marker_key), resolution,
-                version=3)
-        size_threshes.append(data['settings']['default_size_thresh'])
-        if data['settings'].get('default_marker_thresh') is not None:
-            marker_threshes.append(data['settings']['default_marker_thresh'])
-        for c in data['cells']:
-            c['bbox'] = [(c['bbox'][0][0] + rx, c['bbox'][0][1] + ry),
-                         (c['bbox'][1][0] + rx, c['bbox'][1][1] + ry)]
-            c['centroid'] = (c['centroid'][0] + rx, c['centroid'][1] + ry)
-            c['boundary'] = [(x + rx, y + ry) for x, y in c['boundary']]
-            if version in (4, 6):
-                c = pp.encode_cell_data_v4(c, v6=(version == 6))
-            all_cells.append(c)
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if item[0] == 'error':
+                raise item[1]
+            (rx, ry, rw, rh), region = item
+            img = Image.fromarray(region)
+            # inference() directly, like the reference (models/__init__.py:
+            # 853-875): its seg_only output KEEPS the marker modality that
+            # infer_modalities' seg_only file filter would delete (the v3/v4
+            # cell data needs it), and the scoring postprocess whose outputs
+            # this path discards never runs
+            images = inference(img, tile_size=tile_size,
+                               overlap_size=tile_size // 16,
+                               model_path=model_dir, opt=session.opt,
+                               seg_only=True, session=session)
+            marker_key = find_marker_key(images)
+            # v3/4 use the inferred marker; v5/6 use optical density of the
+            # ORIGINAL region (reference models/__init__.py:785-947).
+            # Encode after coordinate offsetting, so run the dict version.
+            if version in (5, 6):
+                data = pp.compute_cell_results(images['Seg'], img, resolution,
+                                               version=5)
+            else:
+                data = pp.compute_cell_results(
+                    images['Seg'], images.get(marker_key), resolution,
+                    version=3)
+            size_threshes.append(data['settings']['default_size_thresh'])
+            if data['settings'].get('default_marker_thresh') is not None:
+                marker_threshes.append(data['settings']['default_marker_thresh'])
+            for c in data['cells']:
+                c['bbox'] = [(c['bbox'][0][0] + rx, c['bbox'][0][1] + ry),
+                             (c['bbox'][1][0] + rx, c['bbox'][1][1] + ry)]
+                c['centroid'] = (c['centroid'][0] + rx, c['centroid'][1] + ry)
+                c['boundary'] = [(x + rx, y + ry) for x, y in c['boundary']]
+                if version in (4, 6):
+                    c = pp.encode_cell_data_v4(c, v6=(version == 6))
+                all_cells.append(c)
 
-    reader.close()
+    finally:
+        reader.close()
     results = {
         'cells': all_cells,
         'settings': {

@@ -309,3 +309,22 @@ def test_batch_task_eviction(model_dir):
         assert states.count('EVICTED') >= 3, states
     finally:
         srv.shutdown()
+
+
+def test_batch_pending_cap_rejects(model_dir):
+    """PENDING tasks are bounded independently of the completed-task LRU:
+    beyond max_pending_tasks, submits get 503 instead of queueing the
+    request bodies without bound."""
+    srv = ThreadingHTTPServer(
+        ('127.0.0.1', 0), make_handler(model_dir, max_pending_tasks=0))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f'http://127.0.0.1:{srv.server_address[1]}'
+    try:
+        img = np.zeros((64, 64, 3), np.uint8)
+        status, data = _post(base + '/api/batch/infer?resolution=40x',
+                             {'img': _png_bytes(img)})
+        assert status == 503
+        assert 'retry' in data['error']
+    finally:
+        srv.shutdown()
