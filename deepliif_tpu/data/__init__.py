@@ -75,7 +75,12 @@ def _collate(samples):
 
 
 class Loader:
-    """Epoch-based iterable over batches with optional thread prefetch."""
+    """Epoch-based iterable over batches with thread prefetch.
+
+    ``num_workers`` sizes the prefetch QUEUE (batches decoded ahead), not
+    a decode pool: get_params draws from the seeded global RNG, so a
+    single decode thread is what keeps `--seed` runs deterministic (the
+    reference gets the same property from seeded DataLoader workers)."""
 
     def __init__(self, dataset, batch_size=1, shuffle=True, seed=None,
                  rank=0, world_size=1, num_workers=2, max_dataset_size=None):
@@ -113,20 +118,52 @@ class Loader:
         idx = self._indices()
         batches = [idx[i:i + self.batch_size]
                    for i in range(0, len(idx), self.batch_size)]
+        # pad the final partial batch to batch_size by repeating its own
+        # samples (the DistributedSampler convention): batch shapes stay
+        # static (one jitted program, and the sharded multi-device
+        # device_put needs the device count to divide the batch)
+        if batches and self.batch_size > 1 \
+                and len(batches[-1]) < self.batch_size:
+            last = batches[-1]
+            batches[-1] = (last * self.batch_size)[:self.batch_size]
         q = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        cancel = threading.Event()
 
         def worker():
             try:
                 for b in batches:
-                    q.put(_collate([self.dataset[i] for i in b]))
-            finally:
+                    item = _collate([self.dataset[i] for i in b])
+                    while not cancel.is_set():
+                        try:
+                            q.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if cancel.is_set():
+                        return
                 q.put(stop)
+            except BaseException as e:  # propagate, never truncate silently
+                q.put(('error', e))
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, tuple) and len(item) == 2 \
+                        and item[0] == 'error':
+                    raise RuntimeError(
+                        f'data loading failed: {item[1]!r}') from item[1]
+                yield item
+        finally:
+            # early exit (--debug break, exception): unblock and stop the
+            # producer so it cannot leak a thread holding queued batches
+            cancel.set()
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

@@ -238,7 +238,13 @@ class InferenceSession:
                 x = x.astype(jnp.float32) / 127.5 - 1.0
                 return x.astype(d.dtype) if d.dtype is not None else x
 
-            if family == 'deepliif' and seg_only:
+            # seg_only_forward indexes a STACKED (uniform-arch) param tree
+            # along the net axis — a heterogeneous net_g/net_gs model dir
+            # stores per-net lists, which that indexing would silently
+            # slice inside each weight tensor (garbage output, no error);
+            # such dirs take the full forward instead
+            uniform = d.uniform_g and d.uniform_gs
+            if family == 'deepliif' and seg_only and uniform:
                 marker_index = self._marker_index()
 
                 def fn(params, x):

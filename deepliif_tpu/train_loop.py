@@ -88,19 +88,28 @@ def _set_injected_lr(state, lr_g, lr_d):
         setattr(state, attr, s._replace(hyperparams=hp))
 
 
-def _batch_to_device(batch, d, mesh=None):
-    out = {k: jnp.asarray(v) for k, v in batch.items()
-           if not k.endswith('_paths')}
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        sh = {
-            'A': NamedSharding(mesh, P('data')),
-            'B_mods': NamedSharding(mesh, P(None, 'data')),
-            'B_seg': NamedSharding(mesh, P('data')),
-            'B_segs': NamedSharding(mesh, P(None, 'data')),
-        }
-        out = {k: jax.device_put(v, sh[k]) for k, v in out.items()}
-    return out
+def _batch_to_device(batch, d, mesh=None, shardings=None):
+    """Host batch -> device arrays. With a mesh, the batch axis shards on
+    'data' (shardings prebuilt once by train_model); in multi-host runs
+    each process contributes its rank-strided LOCAL batch and the global
+    array is assembled across processes — the reference's
+    DistributedSampler + DDP-allreduce combination in one step."""
+    out = {k: v for k, v in batch.items() if not k.endswith('_paths')}
+    if mesh is None or shardings is None:
+        return {k: jnp.asarray(v) for k, v in out.items()}
+    nproc = jax.process_count()
+    if nproc > 1:
+        put = {}
+        for k, v in out.items():
+            v = np.asarray(v)
+            gshape = list(v.shape)
+            ax = 1 if k in ('B_mods', 'B_segs') else 0
+            gshape[ax] *= nproc
+            put[k] = jax.make_array_from_process_local_data(
+                shardings[k], v, tuple(gshape))
+        return put
+    return {k: jax.device_put(jnp.asarray(v), shardings[k])
+            for k, v in out.items()}
 
 
 def _cell_count_rmse(model_outputs, gt_metrics, tile_size, model):
@@ -227,22 +236,31 @@ def train_model(opt):
 
     devices = jax.devices()
     batch = getattr(opt, 'batch_size', 1)
-    use_mesh = len(devices) > 1 and batch % len(devices) == 0
+    # batch_size is PER HOST (the loader yields that many rank-strided
+    # samples); the sharded step sees the global batch across processes
+    global_batch = batch * jax.process_count()
+    use_mesh = len(devices) > 1 and global_batch % len(devices) == 0
     if use_mesh:
         mesh = parallel.get_mesh()
         state = parallel.replicate(mesh, state)
         vgg_params = parallel.replicate(mesh, vgg_params)
         from jax.sharding import NamedSharding, PartitionSpec as P
         repl = parallel.replicated(mesh)
-        data_sh = {'A': NamedSharding(mesh, P('data')),
-                   'B_mods': NamedSharding(mesh, P(None, 'data')),
-                   'B_seg': NamedSharding(mesh, P('data')),
-                   'B_segs': NamedSharding(mesh, P(None, 'data'))}
-        step_fn = jax.jit(step_body, in_shardings=(repl, data_sh, repl),
-                          donate_argnums=(0,))
+
+        def _data_sharding(keys):
+            # key set depends on the model family (B_segs only for Ext);
+            # built from the first real batch so in_shardings' pytree
+            # matches the argument exactly
+            return {k: NamedSharding(mesh, P(None, 'data')
+                                     if k in ('B_mods', 'B_segs')
+                                     else P('data')) for k in keys}
+
+        step_fn = None   # jitted on the first batch
+        data_sh = None
         print(f'data-parallel over {len(devices)} devices')
     else:
         mesh = None
+        data_sh = None
         step_fn = jax.jit(step_body, donate_argnums=(0,))
 
     eval_fn = (dl.make_eval_losses(d, vgg_params)
@@ -270,10 +288,15 @@ def train_model(opt):
     lr_sched = make_lr_schedule(opt, steps_per_epoch)
 
     metrics = {}
+    # plateau without validation monitors the MEAN train loss_G over the
+    # epoch (PlateauController's documented contract) — that needs a
+    # per-step scalar fetch, so only pay it when that policy is active
+    track_epoch_loss = plateau is not None and eval_fn is None
     for epoch in range(epoch_count, n_epochs + n_epochs_decay + 1):
         epoch_start = time.time()
         iter_data_time = time.time()
         epoch_iter = 0
+        epoch_g_sum, epoch_g_n = 0.0, 0
         visualizer.reset()
         dataset.set_epoch(epoch)
 
@@ -284,8 +307,18 @@ def train_model(opt):
             epoch_iter += batch
 
             rng, step_rng = jax.random.split(rng)
-            jbatch = _batch_to_device(data, d, mesh)
+            if mesh is not None and step_fn is None:
+                data_sh = _data_sharding(
+                    [k for k in data if not k.endswith('_paths')])
+                step_fn = jax.jit(step_body,
+                                  in_shardings=(repl, data_sh, repl),
+                                  donate_argnums=(0,))
+            jbatch = _batch_to_device(data, d, mesh, data_sh)
             state, metrics, g_out = step_fn(state, jbatch, step_rng)
+            if track_epoch_loss:
+                epoch_g_sum += float(np.mean(np.asarray(
+                    metrics.get('loss_G', 0.0))))
+                epoch_g_n += 1
 
             if total_iters % print_freq == 0:
                 m = {k: float(v) if np.ndim(v) == 0 else float(np.mean(v))
@@ -337,7 +370,7 @@ def train_model(opt):
         if plateau is not None:
             monitored = (float(np.mean(list(val_losses.values())))
                          if val_losses else
-                         float(np.mean(np.asarray(metrics.get('loss_G', 0.0)))))
+                         (epoch_g_sum / epoch_g_n if epoch_g_n else 0.0))
             if plateau.step(monitored):
                 _set_injected_lr(state, lr_g0 * plateau.mult,
                                  getattr(opt, 'lr_d', 2e-4) * plateau.mult)
@@ -463,20 +496,26 @@ def _run_validation(opt, d, state, eval_fn, visualizer, epoch, rng):
         return None
     losses_acc = []
     outputs = {}
+    gt_path = os.path.join(opt.dataroot, 'val', 'metrics.json')
+    # seg outputs feed only the cell-count RMSE vs metrics.json — without
+    # that ground truth the second (eager) generator forward per sample
+    # would be pure waste on a platform with ~30 ms/op dispatch overhead
+    want_outputs = os.path.exists(gt_path)
     for data in dataset_val:
         jbatch = _batch_to_device(data, d)
         m = eval_fn(state, jbatch, rng)
         losses_acc.append({k: float(np.mean(v)) for k, v in m.items()})
-        name = os.path.splitext(os.path.basename(data['A_paths'][0]))[0]
-        mods, seg = dl.generator_forward(state.g_params, jbatch['A'], d)
-        if seg is not None:
-            outputs[name] = (np.asarray(jbatch['A'][0]), np.asarray(seg[0]))
+        if want_outputs:
+            name = os.path.splitext(os.path.basename(data['A_paths'][0]))[0]
+            mods, seg = dl.generator_forward(state.g_params, jbatch['A'], d)
+            if seg is not None:
+                outputs[name] = (np.asarray(jbatch['A'][0]),
+                                 np.asarray(seg[0]))
     avg = None
     if losses_acc:
         avg = {k: float(np.mean([x[k] for x in losses_acc]))
                for k in losses_acc[0]}
         visualizer.plot_current_losses_val(epoch, avg)
-    gt_path = os.path.join(opt.dataroot, 'val', 'metrics.json')
     if os.path.exists(gt_path) and outputs:
         with open(gt_path) as f:
             gt = json.load(f)

@@ -113,3 +113,12 @@ def test_two_process_distributed_training(tmp_path):
     for r in (r0, r1):
         assert np.isfinite(r['loss_G']) and np.isfinite(r['loss_D'])
         assert r['steps'] == 2  # 4 rows / 2 hosts / batch 1
+    # DDP-equivalence: with the global (cross-process) mesh, gradients
+    # all-reduce over the global batch, so both ranks — starting from the
+    # same seeded init — must hold IDENTICAL parameters after training
+    a = np.load(tmp_path / 'ckpt0' / 'mh' / 'latest_net_G.npz')
+    b = np.load(tmp_path / 'ckpt1' / 'mh' / 'latest_net_G.npz')
+    assert set(a.files) == set(b.files)
+    for k in a.files:
+        np.testing.assert_allclose(a[k], b[k], rtol=0, atol=0,
+                                   err_msg=f'rank params diverged at {k}')
