@@ -634,9 +634,20 @@ def compute_statistics(gt_dir, model_output_dir, model_name, image_size,
                           .convert('RGB').resize((image_size, image_size)))
         gt = np.asarray(Image.open(gt_path).convert('RGB')
                         .resize((image_size, image_size)))
+        # the reference protocol (ComputeStatistics.py:80-85): both images
+        # through rgb2gray + img_as_float (so values in [0,1]), MSE on the
+        # gray floats, SSIM with an 11x11 Gaussian window, population
+        # covariance, and data_range=255 — reproduced bug-for-bug (the
+        # [0,1]-scale/255-range mismatch is part of the published numbers)
+        def _gray01(x):
+            return (x @ np.asarray([0.2125, 0.7154, 0.0721])) / 255.0
+
+        pg, gg = _gray01(pred.astype(np.float64)), _gray01(gt.astype(np.float64))
         row = {'Model': model_name, 'image_name': fn,
-               'MSE': stats.mse(pred, gt),
-               'SSIM': stats.ssim(pred, gt, data_range=255),
+               'MSE': stats.mse(pg, gg),
+               'SSIM': stats.ssim(pg, gg, data_range=255,
+                                  gaussian_weights=True, sigma=1.5,
+                                  use_sample_covariance=False),
                'PSNR': stats.psnr(pred, gt)}
         if 'Seg' in fn:
             seg = stats.segmentation_metrics_posneg(pred, gt, include_aji=with_aji)

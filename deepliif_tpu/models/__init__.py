@@ -693,7 +693,11 @@ def postprocess(orig, images, tile_size, model, seg_thresh=120,
         args = (
             np.asarray(orig.convert('RGB') if hasattr(orig, 'convert') else orig),
             np.asarray(images['Seg']),
-            np.asarray(marker.convert('L')) if marker is not None else None,
+            # reference grayscale convention: per-pixel MAX over RGB
+            # channels (to_array(marker, True), ref models/__init__.py:874)
+            # — PIL luma 'L' underestimates non-gray pixels and shifts the
+            # marker threshold/counts
+            pp.to_array(marker, True) if marker is not None else None,
             resolution, size_thresh, marker_thresh, size_thresh_upper, seg_thresh)
         if device_quant:
             from ..ops.labeling import compute_final_results_device

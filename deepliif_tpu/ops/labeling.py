@@ -210,7 +210,7 @@ def _segment_stats(flat_lab, mask, n):
 
 
 def quantify(seg_u8, marker_u8=None, seg_thresh=120, noise_thresh=4,
-             large_noise_thresh=16000, size_thresh=0, marker_thresh=None,
+             large_noise_thresh=None, size_thresh=0, marker_thresh=None,
              size_thresh_upper=None):
     """Full on-device cell counting: uint8 seg (H,W,3) -> counts + masks.
 
@@ -510,7 +510,9 @@ def compute_final_results_device(orig_u8, seg_u8, marker_u8=None,
     cache_key = (resolution, auto_size, auto_marker, static_size,
                  static_marker, size_thresh_upper, seg_thresh, noise_thresh,
                  large_noise,
-                 None if mesh is None else int(mesh.devices.size))
+                 None if mesh is None else mesh)   # Mesh is hashable —
+    # keying on size alone would hand a same-sized but DIFFERENT mesh the
+    # first mesh's baked-in closure
     if cache_key in _RUN_CACHE:
         run = _RUN_CACHE[cache_key]
         return _finish(run, orig_u8, seg_u8, marker_u8, size_thresh,

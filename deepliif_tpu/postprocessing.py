@@ -696,6 +696,10 @@ def compute_final_results(orig, seg, marker, resolution,
     elif size_thresh == 'default':
         size_thresh = defaults['size_thresh']
     if marker_thresh == 'default':
+        if 'marker_thresh' not in defaults:
+            raise ValueError(
+                "marker_thresh='default' needs an inferred marker image "
+                "and intensity thresholds (not optical-density mode)")
         marker_thresh = defaults['marker_thresh']
 
     counts = create_cell_classification(mask, cellsinfo, lab, size_thresh,

@@ -220,7 +220,7 @@ def make_handler(model_dir, max_batch=None, batch_workers=4,
                 marker = images.get(find_marker_key(images))
                 overlay, refined, scoring = pp.compute_final_results(
                     img, images['Seg'],
-                    np.asarray(marker.convert('L')) if marker is not None else None,
+                    pp.to_array(marker, True) if marker is not None else None,
                     resolution, size_thresh, marker_thresh, size_up,
                     prob_thresh)
                 images['SegOverlaid'] = Image.fromarray(overlay)
@@ -279,8 +279,9 @@ def make_handler(model_dir, max_batch=None, batch_workers=4,
             seg = Image.open(io.BytesIO(fields['seg_img'])).convert('RGB')
             marker = None
             if 'marker_img' in fields:
-                marker = np.asarray(
-                    Image.open(io.BytesIO(fields['marker_img'])).convert('L'))
+                # max-over-RGB, the reference grayscale convention
+                marker = pp.to_array(
+                    Image.open(io.BytesIO(fields['marker_img'])), True)
             resolution = q.get('resolution', ['40x'])[0]
             prob_thresh, size_thresh, size_up, marker_thresh = _parse_thresholds(q)
             overlay, refined, scoring = pp.compute_final_results(

@@ -117,24 +117,44 @@ def psnr(a, b, data_range=255.0):
     return float(10 * np.log10(data_range ** 2 / m))
 
 
-def ssim(a, b, data_range=None, win_size=7):
-    """Mean SSIM with a uniform win_size window (skimage defaults:
-    K1=0.01, K2=0.03, uniform filter, sample covariance normalization)."""
+def ssim(a, b, data_range=None, win_size=7, gaussian_weights=False,
+         sigma=1.5, use_sample_covariance=True):
+    """Mean SSIM (K1=0.01, K2=0.03). Defaults match skimage's defaults
+    (uniform win_size window, sample covariance); the reference evaluation
+    protocol (DeepLIIF_Statistics/ComputeStatistics.py:84) is
+    gaussian_weights=True, sigma=1.5, use_sample_covariance=False —
+    an 11x11 Gaussian window with population covariance."""
     a = np.asarray(a, np.float64)
-    b = np.asarray(b, np.float64)
+    orig_b = np.asarray(b)
+    b = orig_b.astype(np.float64)
     if a.ndim == 3:
-        return float(np.mean([ssim(a[..., c], b[..., c], data_range, win_size)
-                              for c in range(a.shape[-1])]))
+        return float(np.mean([
+            ssim(a[..., c], b[..., c], data_range, win_size,
+                 gaussian_weights, sigma, use_sample_covariance)
+            for c in range(a.shape[-1])]))
     if data_range is None:
-        data_range = b.max() - b.min()
+        # dtype range for uint8 (the skimage default); observed range as
+        # the float fallback
+        data_range = 255.0 if orig_b.dtype == np.uint8 \
+            else b.max() - b.min()
     k1, k2 = 0.01, 0.03
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
-    n = win_size ** 2
-    cov_norm = n / (n - 1)
+    if gaussian_weights:
+        # skimage: truncate the kernel at 3.5 sigma -> win 11 for 1.5
+        truncate = 3.5
+        win_size = 2 * int(truncate * sigma + 0.5) + 1
 
-    def f(x):
-        return ndimage.uniform_filter(x, win_size)
+        def f(x):
+            return ndimage.gaussian_filter(x, sigma, truncate=truncate)
+    else:
+        def f(x):
+            return ndimage.uniform_filter(x, win_size)
+    if use_sample_covariance:
+        n = win_size ** 2
+        cov_norm = n / (n - 1)
+    else:
+        cov_norm = 1.0
 
     ux, uy = f(a), f(b)
     uxx, uyy, uxy = f(a * a), f(b * b), f(a * b)
@@ -180,42 +200,71 @@ def laplacian_pyramid(img, n_levels):
     return lap
 
 
-def swd(images_a, images_b, n_levels=4, n_descriptors=4096, patch=7,
-        n_projections=128, seed=0):
-    """Sliced Wasserstein distance between two image sets over Laplacian
-    pyramid levels (uint8 HWC arrays). Returns per-level + mean distances."""
+def swd(images_a, images_b, n_levels=None, n_descriptors=128, patch=7,
+        n_repeat_projection=128, proj_per_repeat=4, seed=0):
+    """Sliced Wasserstein distance between two image sets, the reference
+    protocol exactly (DeepLIIF_Statistics/swd.py:97-157, compute_swd
+    :153-157): images scaled to [0,1]; Laplacian pyramid with
+    n_pyramids = round(log2(H/16)); per level, the SAME ``n_descriptors``
+    random patch positions are extracted from every image of BOTH sets
+    (paired sampling); patches normalize per CHANNEL over the whole
+    stack; projections are Gaussian normalized by per-column std (128
+    repeats x 4); sorted-projection L1, scaled x1e3. Returns per-level +
+    mean distances on the reference's scale."""
     rng = np.random.default_rng(seed)
+    a = np.asarray(images_a, np.float64) / 255.0
+    b = np.asarray(images_b, np.float64) / 255.0
+    if a.shape != b.shape:
+        raise ValueError(f'image sets must match: {a.shape} vs {b.shape}')
+    if a.ndim == 3:
+        a, b = a[..., None], b[..., None]
+    h = a.shape[1]
+    if n_levels is None:
+        n_levels = max(0, int(np.rint(np.log2(max(1, h // 16)))))
+    pyr_a = [laplacian_pyramid(img, n_levels) for img in a]
+    pyr_b = [laplacian_pyramid(img, n_levels) for img in b]
 
-    def descriptors(images, level):
-        descs = []
-        per_img = max(1, n_descriptors // max(1, len(images)))
-        for img in images:
-            lap = laplacian_pyramid(img, n_levels)[level]
-            h, w = lap.shape[:2]
-            if h < patch or w < patch:
-                continue
-            ys = rng.integers(0, h - patch + 1, per_img)
-            xs = rng.integers(0, w - patch + 1, per_img)
+    def patches(pyrs, level, ys, xs):
+        out = []
+        for p in pyrs:
+            lap = p[level]
             for y, x in zip(ys, xs):
-                descs.append(lap[y:y + patch, x:x + patch].ravel())
-        d = np.asarray(descs)
-        d = (d - d.mean(0)) / (d.std(0) + 1e-8)
-        return d
+                out.append(lap[y:y + patch, x:x + patch])
+        # (n_img * n_desc, ph, pw, C) -> per-CHANNEL normalization over
+        # the whole stack (reference extract_patches :90-92)
+        d = np.asarray(out)
+        mean = d.mean(axis=(0, 1, 2), keepdims=True)
+        std = d.std(axis=(0, 1, 2), keepdims=True)
+        d = (d - mean) / (std + 1e-8)
+        return d.reshape(len(out), -1)
 
     results = {}
+    level_vals = []
     for level in range(n_levels + 1):
-        da = descriptors(images_a, level)
-        db = descriptors(images_b, level)
-        n = min(len(da), len(db))
-        if n == 0:
+        lh, lw = pyr_a[0][level].shape[:2]
+        if lh < patch or lw < patch:
             continue
-        da, db = da[:n], db[:n]
-        proj = rng.normal(size=(da.shape[1], n_projections))
-        proj /= np.linalg.norm(proj, axis=0, keepdims=True)
-        pa = np.sort(da @ proj, axis=0)
-        pb = np.sort(db @ proj, axis=0)
-        results[f'level_{level}'] = float(np.abs(pa - pb).mean())
-    results['mean'] = float(np.mean(list(results.values())))
+        # reference: one shared index draw per level, patch origins over
+        # the (H-6)x(W-6) interior, identical for both sets
+        n_pos = (lh - patch + 1) * (lw - patch + 1)
+        idx = rng.permutation(n_pos)[:n_descriptors]
+        ys, xs = idx // (lw - patch + 1), idx % (lw - patch + 1)
+        pa = patches(pyr_a, level, ys, xs)
+        pb = patches(pyr_b, level, ys, xs)
+        dists = []
+        for _ in range(n_repeat_projection):
+            proj = rng.normal(size=(pa.shape[1], proj_per_repeat))
+            proj /= proj.std(axis=0, keepdims=True)
+            sa = np.sort(pa @ proj, axis=0)
+            sb = np.sort(pb @ proj, axis=0)
+            dists.append(np.abs(sa - sb).mean())
+        results[f'level_{level}'] = float(np.mean(dists) * 1e3)
+        level_vals.append(results[f'level_{level}'])
+    if not level_vals:
+        raise ValueError(
+            f'images too small for SWD: every pyramid level is below the '
+            f'{patch}px patch size')
+    results['mean'] = float(np.mean(level_vals))
     return results
 
 

@@ -76,7 +76,7 @@ def split_touching_cells(mask, min_distance_ratio=0.5):
     # seeds: local maxima of the distance transform
     footprint = np.ones((5, 5), bool)
     maxima = (dist == ndimage.maximum_filter(dist, footprint=footprint)) & \
-        (dist > min_distance_ratio * dist.max() * 0.2)
+        (dist > min_distance_ratio * dist.max())
     markers, _ = ndimage.label(maxima, structure=_S8)
     return watershed(-dist, markers, mask=mask)
 
@@ -218,8 +218,11 @@ def read_instance_mask_dir(input_dir, image_size, mode='segmentation'):
             entry['binary'][bw] = 1
         else:
             ys, xs = np.nonzero(bw)
-            center = (int((ys.min() + ys.max()) / 2),
-                      int((xs.min() + xs.max()) / 2))
+            # (x, y), matching every other point producer in this module
+            # (detection_points_from_mask etc.) so match_detections never
+            # compares transposed coordinates
+            center = (int((xs.min() + xs.max()) / 2),
+                      int((ys.min() + ys.max()) / 2))
             entry = masks.setdefault(image_name,
                                      {'positive': [], 'negative': [],
                                       'binary': []})

@@ -109,3 +109,63 @@ def test_detection_adapters():
     m = match_detections([(10, 10), (30, 30), (55, 55)], [(11, 9), (29, 31)],
                          max_distance=5)
     assert m['tp'] == 2 and m['fp'] == 1 and m['fn'] == 0
+
+
+def test_ssim_reference_protocol_mode():
+    """gaussian_weights/sigma/use_sample_covariance reproduce the skimage
+    call the reference evaluation makes (ComputeStatistics.py:84)."""
+    from deepliif_tpu import stats
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 255, (64, 64), np.uint8).astype(np.float64) / 255
+    b = np.clip(a + rng.normal(0, 0.05, a.shape), 0, 1)
+    assert stats.ssim(a, a, data_range=255, gaussian_weights=True,
+                      sigma=1.5, use_sample_covariance=False) == 1.0
+    g = stats.ssim(a, b, data_range=1.0, gaussian_weights=True,
+                   sigma=1.5, use_sample_covariance=False)
+    u = stats.ssim(a, b, data_range=1.0)
+    assert 0 < g < 1 and 0 < u < 1 and g != u  # different windows
+    # uint8 inputs default to the dtype range (skimage convention)
+    au = (a * 255).astype(np.uint8)
+    bu = (b * 255).astype(np.uint8)
+    assert abs(stats.ssim(au, bu) - stats.ssim(au, bu, data_range=255)) < 1e-12
+
+
+def test_swd_reference_protocol():
+    """Paired patch indices (the reference protocol): identical image sets
+    give exactly 0, and results carry the reference's x1e3 scale."""
+    from deepliif_tpu import stats
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 255, (4, 64, 64, 3), np.uint8)
+    b = rng.integers(0, 255, (4, 64, 64, 3), np.uint8)
+    same = stats.swd(a, a)
+    assert same['mean'] == 0.0           # unpaired sampling would be noisy
+    diff = stats.swd(a, b)
+    assert diff['mean'] > 1.0            # x1e3 scale: O(10-100) for noise
+    with pytest.raises(ValueError, match='too small'):
+        stats.swd(np.zeros((2, 6, 6, 3), np.uint8),
+                  np.zeros((2, 6, 6, 3), np.uint8))
+
+
+def test_postprocess_marker_uses_channel_max(monkeypatch):
+    """The engine converts the inferred marker with the reference's
+    grayscale convention — per-pixel MAX over RGB (to_array(marker, True),
+    ref models/__init__.py:874) — not PIL luma."""
+    from PIL import Image
+    from deepliif_tpu import postprocessing as pp
+    from deepliif_tpu.models import postprocess
+
+    captured = {}
+    real = pp.compute_final_results
+
+    def spy(orig, seg, marker, *a, **kw):
+        captured['marker'] = marker
+        return real(orig, seg, marker, *a, **kw)
+
+    monkeypatch.setattr(pp, 'compute_final_results', spy)
+    rng = np.random.default_rng(2)
+    marker_rgb = rng.integers(0, 255, (32, 32, 3), np.uint8)
+    images = {'Seg': Image.fromarray(np.zeros((32, 32, 3), np.uint8)),
+              'mod3-Marker': Image.fromarray(marker_rgb)}
+    orig = Image.fromarray(rng.integers(0, 255, (32, 32, 3), np.uint8))
+    postprocess(orig, images, 512, 'DeepLIIF')
+    np.testing.assert_array_equal(captured['marker'], marker_rgb.max(axis=2))
