@@ -79,6 +79,18 @@ def init_norm(key, c, init_type='normal', init_gain=0.02):
 # conv / conv-transpose
 # ---------------------------------------------------------------------------
 
+def _quant_act(x, p):
+    """Activation quantization for a quantized conv param dict: static
+    (calibrated 'a_s') or dynamic per-sample. ONE definition shared by
+    conv2d and conv_transpose2d so the two int8 paths cannot diverge."""
+    if 'a_s' in p:
+        s = p['a_s']
+        q = jnp.clip(jnp.round(x * (1.0 / s).astype(x.dtype)),
+                     -127, 127).astype(jnp.int8)
+        return q, s
+    return _quant_act_int8(x)
+
+
 def conv2d(x, p, stride=1, padding=0):
     """2D conv; ``padding`` int means symmetric zero pad (torch semantics).
 
@@ -92,15 +104,10 @@ def conv2d(x, p, stride=1, padding=0):
     if _ACT_CALIB is not None:
         _ACT_CALIB.record(p, x)
     if 'w_q' in p and _int8_ok(x, static='a_s' in p):
-        if 'a_s' in p:
-            # static (calibrated) activation scale: a pure elementwise
-            # quantize that XLA fuses into the producer — no max-abs
-            # reduction, so the activation never materializes above int8
-            s = p['a_s']
-            q = jnp.clip(jnp.round(x * (1.0 / s).astype(x.dtype)),
-                         -127, 127).astype(jnp.int8)
-        else:
-            q, s = _quant_act_int8(x)
+        # static (calibrated) scale: a pure elementwise quantize XLA fuses
+        # into the producer — no max-abs reduction, so the activation
+        # never materializes above int8; else dynamic per-sample
+        q, s = _quant_act(x, p)
         y = jax.lax.conv_general_dilated(
             q, p['w_q'], (stride, stride), pad, dimension_numbers=_DN,
             preferred_element_type=jnp.int32)
@@ -442,12 +449,7 @@ def conv_transpose2d(x, p, stride=2, padding=1, output_padding=1):
     if _ACT_CALIB is not None:
         _ACT_CALIB.record(p, x)
     if 'w_q' in p and _int8_ok(x, static='a_s' in p):
-        if 'a_s' in p:
-            s = p['a_s']
-            q = jnp.clip(jnp.round(x * (1.0 / s).astype(x.dtype)),
-                         -127, 127).astype(jnp.int8)
-        else:
-            q, s = _quant_act_int8(x)
+        q, s = _quant_act(x, p)
         y = jax.lax.conv_general_dilated(
             q, p['w_q'], (1, 1), [(lo, hi), (lo, hi)],
             lhs_dilation=(stride, stride), dimension_numbers=_DN,
@@ -527,9 +529,10 @@ def norm_has_params(norm_type):
 
 
 def norm_use_bias(norm_type):
-    """Convs carry bias iff the following norm has no affine (reference
-    networks.py:381-384): instance/none -> bias, batch -> no bias."""
-    return norm_type != 'batch'
+    """Convs carry bias iff the norm layer is INSTANCE norm — the exact
+    reference rule (networks.py: use_bias = norm_layer ==
+    nn.InstanceNorm2d), so batch/none/spectral nets have NO conv bias."""
+    return norm_type == 'instance'
 
 
 # ---------------------------------------------------------------------------
@@ -601,7 +604,6 @@ def add_spectral_u(params, key):
     walk(params, ())
     keys = split_keys(key, max(1, len(leaves)))
     for (node, shape), k in zip(leaves, keys):
-        rows = shape[:-1]
         if len(shape) == 5:  # stacked (N,kh,kw,i,o)
             n = shape[0]
             m = shape[1] * shape[2] * shape[3]

@@ -24,7 +24,9 @@ def init(key, input_nc, output_nc, ngf=64, n_blocks=9, norm='batch',
          init_type='normal', init_gain=0.02):
     use_bias = L.norm_use_bias(norm)
     has_norm = L.norm_has_params(norm)
-    keys = iter(L.split_keys(key, 64))
+    # head(2) + 2 down stages(4) + 4 per resblock + 2 up stages(4) +
+    # tail(1), rounded up — a fixed pool of 64 capped the net at 13 blocks
+    keys = iter(L.split_keys(key, 16 + 4 * n_blocks))
 
     def norm_p(c):
         return L.init_norm(next(keys), c, init_type, init_gain) if has_norm else {}

@@ -86,7 +86,7 @@ def features(params, x):
             if item == 'pool':
                 h = _maxpool2(h)
             else:
-                h = L.relu(L.conv2d(h, jax.tree_util.tree_map(lambda a: a, sp[ci]), 1, 1))
+                h = L.relu(L.conv2d(h, sp[ci], 1, 1))
                 ci += 1
         outs.append(h)
     return outs

@@ -205,7 +205,6 @@ class InferenceTiler:
         index_of = {}
         for i, (x, y) in enumerate(self.coords):
             index_of[(y, x)] = i  # later duplicates overwrite = last paste
-        tile_idx = np.empty((H, W), np.int32)
         ty = np.empty(H, np.int32)
         tx = np.empty(W, np.int32)
         for Y in range(H):

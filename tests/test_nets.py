@@ -141,3 +141,27 @@ def test_unet_dropout_targets_intermediate_blocks(monkeypatch, rng_key):
     # two intermediate blocks; dropout applies to the up output of each,
     # which has outer_nc = ngf*8 channels
     assert calls == [ngf * 8, ngf * 8], calls
+
+
+def test_conv_bias_follows_reference_norm_rule():
+    """Reference rule (networks.py): use_bias = norm_layer == InstanceNorm2d
+    — ONLY instance-norm nets carry conv biases. A 'spectral'/'none' net
+    with biases would be structurally incompatible with reference
+    checkpoints."""
+    from deepliif_tpu.nets import layers as L
+    assert L.norm_use_bias('instance')
+    for n in ('batch', 'none', 'spectral'):
+        assert not L.norm_use_bias(n), n
+    from deepliif_tpu.nets import resnet
+    p = resnet.init(jax.random.PRNGKey(0), 3, 3, ngf=8, n_blocks=1,
+                    norm='none')
+    assert 'b' not in p['res0_conv1']
+
+
+def test_resnet_init_supports_deep_block_counts():
+    """define_g accepts any resnet_Nblocks; init's key pool must scale
+    with n_blocks (a fixed pool of 64 crashed at 14+ blocks)."""
+    from deepliif_tpu.nets import resnet
+    p = resnet.init(jax.random.PRNGKey(0), 3, 3, ngf=4, n_blocks=16,
+                    norm='batch')
+    assert 'res15_conv2' in p
