@@ -243,7 +243,8 @@ class InferenceSession:
             # stores per-net lists, which that indexing would silently
             # slice inside each weight tensor (garbage output, no error);
             # such dirs take the full forward instead
-            uniform = d.uniform_g and d.uniform_gs
+            uniform = getattr(d, 'uniform_g', True) \
+                and getattr(d, 'uniform_gs', True)
             if family == 'deepliif' and seg_only and uniform:
                 marker_index = self._marker_index()
 
