@@ -149,8 +149,13 @@ class Options:
             else:
                 d_params = read_model_params(path_file)
 
+        # train_opt.txt values arrive as strings and need literal parsing;
+        # JSON configs are already typed — re-parsing would corrupt
+        # literal-looking strings (an experiment named '2014' or 'none')
+        parse_literals = path_file is not None \
+            and not str(path_file).endswith('.json')
         for k, v in d_params.items():
-            if isinstance(v, str) and k != 'phase':
+            if parse_literals and isinstance(v, str) and k != 'phase':
                 v = _literal(v)
             setattr(self, k, v)
 
@@ -163,9 +168,9 @@ class Options:
                 self.netG = self.net_g
             if hasattr(self, 'net_d') and not hasattr(self, 'netD'):
                 self.netD = self.net_d
-            self.n_layers_D = 4
-            self.lambda_L1 = 100
-            self.lambda_feat = 100
+            # n_layers_D / lambda_L1 / lambda_feat come from TRAIN_DEFAULTS
+            # below ONLY when absent — hard assignments here clobbered the
+            # CLI's --n-layers-d and lambda flags
             for k, v in TRAIN_DEFAULTS.items():
                 if not hasattr(self, k):
                     setattr(self, k, v)

@@ -59,8 +59,13 @@ _RASTER4 = [(-1, 0), (0, -1), (0, 1), (1, 0)]
 
 
 def imadjust(x, gamma=0.7, c=0, d=1):
-    """Contrast adjustment (ref :10-23)."""
+    """Contrast adjustment (ref :10-23). Constant input returns ``c``
+    everywhere (the reference divides by zero there; strict improvement,
+    not a parity break — that input NaNs the reference)."""
+    x = np.asarray(x, np.float64)
     a, b = x.min(), x.max()
+    if b == a:
+        return np.full_like(x, c)
     return (((x - a) / (b - a)) ** gamma) * (d - c) + c
 
 

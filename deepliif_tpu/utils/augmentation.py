@@ -160,13 +160,8 @@ def augment_dataset(input_dir, output_dir, aug_no=9, tile_size=512, seed=0):
 # Image_Processing_Helper_Functions.py:166-180, 451-521)
 # ---------------------------------------------------------------------------
 
-def imadjust(x, gamma=0.7, c=0, d=1):
-    """Contrast stretch + gamma (reference imadjust, :166-180)."""
-    x = np.asarray(x, np.float64)
-    a, b = x.min(), x.max()
-    if b == a:
-        return np.full_like(x, c)
-    return (((x - a) / (b - a)) ** gamma) * (d - c) + c
+# ONE imadjust definition for the whole package (guards constant input)
+from ..postprocessing import imadjust  # noqa: F401,E402
 
 
 def create_dataset_from_wsi_regions(region_images, output_dir, name,
@@ -186,8 +181,8 @@ def create_dataset_from_wsi_regions(region_images, output_dir, name,
             dapi = region_images.get('DAPI')
             if dapi is not None:
                 dt = dapi[y0:y0 + tile_size, x0:x0 + tile_size]
-                if not dt.any() or dt.mean() <= 0.0:
-                    continue
+                if not dt.any():   # empty DAPI tile (unsigned data:
+                    continue       # any() False <=> mean 0)
             for img_type, region in region_images.items():
                 tile = region[y0:y0 + tile_size, x0:x0 + tile_size]
                 tile = imadjust(tile, 1, 0, 255).astype(np.uint8)

@@ -25,6 +25,8 @@ def _denoise(img):
 
 def calculate_background_mean_value(img):
     """Mean RGB over channel-similar (gray-ish) pixels after NLMeans."""
+    if hasattr(img, 'convert'):
+        img = img.convert('RGB')   # NLMeans asserts 3-channel uint8
     a = _denoise(img).astype(float)
     t = 15
     d01 = np.abs(a[..., 0] - a[..., 1])
@@ -89,8 +91,10 @@ def adjust_background_tile(img):
     if len(np.unique(image)) > 3:
         thresholds = threshold_multiotsu(image)
         regions = np.digitize(image, bins=thresholds)
-        image = imadjust(image.astype(float),
-                         np.mean(image[regions == 0]) / 20, 0, 255).astype(np.uint8)
+        dark = image[regions == 0]
+        if dark.size:   # empty when the darkest Otsu class sits ON t1
+            image = imadjust(image.astype(float),
+                             np.mean(dark) / 20, 0, 255).astype(np.uint8)
     return Image.fromarray(image).convert('RGB')
 
 

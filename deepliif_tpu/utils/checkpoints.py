@@ -26,7 +26,18 @@ def _flatten(tree):
 
 
 def save_pytree(path, tree):
-    np.savez(path, **_flatten(tree))
+    """Atomic write (temp + os.replace): a crash or preemption mid-save
+    must never truncate the 'latest' alias that resume depends on."""
+    tmp = f'{path}.tmp-{os.getpid()}'
+    try:
+        np.savez(tmp, **_flatten(tree))
+        # np.savez appends .npz when the name lacks it
+        written = tmp if os.path.exists(tmp) else tmp + '.npz'
+        os.replace(written, path)
+    finally:
+        for cand in (tmp, tmp + '.npz'):
+            if os.path.exists(cand):
+                os.remove(cand)
 
 
 def load_pytree(path, like):
@@ -80,10 +91,15 @@ def save_networks_orbax(save_dir, params, epoch='latest'):
     """Checkpoint via orbax (atomic, async-capable). Layout:
     <save_dir>/orbax/<epoch>/<net-name>."""
     import orbax.checkpoint as ocp
-    path = os.path.abspath(os.path.join(save_dir, 'orbax', str(epoch)))
     ckptr = ocp.StandardCheckpointer()
-    for name, tree in params.items():
-        ckptr.save(os.path.join(path, name), tree, force=True)
+    # numbered epochs also refresh the 'latest' alias, mirroring the npz
+    # backend exactly (load_networks_orbax defaults to epoch='latest')
+    epochs = [str(epoch)] if str(epoch) == 'latest' \
+        else [str(epoch), 'latest']
+    for ep in epochs:
+        path = os.path.abspath(os.path.join(save_dir, 'orbax', ep))
+        for name, tree in params.items():
+            ckptr.save(os.path.join(path, name), tree, force=True)
     ckptr.wait_until_finished()
 
 

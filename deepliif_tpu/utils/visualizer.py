@@ -78,9 +78,14 @@ class Visualizer:
             json.dump(self.history, f)
 
     def _snapshot(self, kind, payload):
+        # atomic (temp + os.replace): the `visualize` watcher polls mtime
+        # and loads concurrently — an in-place truncate+write would hand
+        # it a partial pickle mid-write
         path = os.path.join(self.pickle_dir, f'{kind}.pickle')
-        with open(path, 'wb') as f:
+        tmp = f'{path}.tmp-{os.getpid()}'
+        with open(tmp, 'wb') as f:
             pickle.dump(payload, f)
+        os.replace(tmp, path)
 
     # -- image grids ---------------------------------------------------------
     def display_current_results(self, visuals, epoch, save_result,
@@ -92,11 +97,7 @@ class Visualizer:
         self.saved = True
         u8 = {}
         for label, img in visuals.items():
-            a = np.asarray(img)
-            if a.dtype != np.uint8:
-                a = ((a + 1) / 2.0 * 255.0).clip(0, 255).astype(np.uint8)
-            if a.ndim == 4:
-                a = a[0]
+            a = _to_u8(img)
             u8[label] = a
             Image.fromarray(a).save(
                 os.path.join(self.img_dir, f'epoch{epoch:03d}_{label}.png'))
@@ -148,6 +149,21 @@ class Visualizer:
         return out_path
 
 
+def _to_u8(img):
+    """Visual -> uint8 HWC via the ONE conversion (utils.tensor2im
+    semantics); uint8 passes through, batch dim dropped, single channel
+    tiled to RGB."""
+    a = np.asarray(img)
+    if a.dtype == np.uint8:
+        if a.ndim == 4:
+            a = a[0]
+        if a.ndim == 3 and a.shape[-1] == 1:
+            a = np.repeat(a, 3, axis=-1)
+        return a
+    from . import tensor2im
+    return tensor2im(a)
+
+
 def save_images(save_dir, visuals, image_path, aspect_ratio=1.0):
     """Save test visuals next to an HTML gallery (reference visualizer.py:
     17-44)."""
@@ -155,9 +171,5 @@ def save_images(save_dir, visuals, image_path, aspect_ratio=1.0):
     os.makedirs(save_dir, exist_ok=True)
     short_path = os.path.splitext(os.path.basename(image_path))[0]
     for label, img in visuals.items():
-        a = np.asarray(img)
-        if a.dtype != np.uint8:
-            a = ((a + 1) / 2.0 * 255.0).clip(0, 255).astype(np.uint8)
-        if a.ndim == 4:
-            a = a[0]
-        Image.fromarray(a).save(os.path.join(save_dir, f'{short_path}_{label}.png'))
+        Image.fromarray(_to_u8(img)).save(
+            os.path.join(save_dir, f'{short_path}_{label}.png'))

@@ -179,3 +179,37 @@ def test_train_cli_flag_mapping():
                  '--label-smoothing', '--dataset-mode', '--debug',
                  '--gpu-ids', '--display-port', '--no-html', '--verbose'):
         assert flag in r.output, flag
+
+
+def test_n_layers_d_and_lambdas_survive_train_options():
+    """Regression: train mode hard-assigned n_layers_D/lambda_L1/
+    lambda_feat AFTER applying d_params, silently discarding the CLI's
+    --n-layers-d and lambda flags."""
+    from deepliif_tpu.config import Options, TRAIN_DEFAULTS
+    p = dict(TRAIN_DEFAULTS)
+    p.update(dataroot='/tmp/x', name='t', n_layers_D=3,
+             lambda_L1=50.0, lambda_feat=25.0)
+    opt = Options(d_params=p, mode='train')
+    assert opt.n_layers_D == 3
+    assert opt.lambda_L1 == 50.0 and opt.lambda_feat == 25.0
+    # defaults still backfill when absent
+    p2 = dict(TRAIN_DEFAULTS); p2.update(dataroot='/tmp/x', name='t')
+    p2.pop('n_layers_D', None)
+    opt2 = Options(d_params=p2, mode='train')
+    assert opt2.n_layers_D == 4
+
+
+def test_json_config_values_are_not_literal_reparsed(tmp_path):
+    """JSON configs are already typed: an experiment named '2014' or
+    'none' must stay a string (train_opt.txt strings still parse)."""
+    import json
+    from deepliif_tpu.config import Options
+    cfg = tmp_path / 'config.json'
+    json.dump({'model': 'DeepLIIF', 'dataroot': 'none',
+               'remote_transfer_cmd': '2014.send',
+               'modalities_no': 2, 'seg_gen': True, 'netG': 'resnet_6blocks',
+               'net_gs': 'unet_32'}, open(cfg, 'w'))
+    opt = Options(path_file=str(cfg), mode='test')
+    # _literal would have turned these into None / a float
+    assert opt.dataroot == 'none'
+    assert opt.remote_transfer_cmd == '2014.send'
