@@ -31,13 +31,21 @@ WARMUP = 2
 ITERS = 6
 
 
-def _bench(dtype, batch):
+def _bench(dtype, batch, int8_resblocks=False):
     from deepliif_tpu.models import deepliif as dl
 
-    d = dl.DeepLIIFDef(dtype=dtype)
+    d = dl.DeepLIIFDef(dtype=dtype, quant_int8=int8_resblocks)
     params = dl.init_params(jax.random.PRNGKey(0), d, with_discriminators=False)
     if dtype is not None:
         params = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
+    if int8_resblocks:
+        # production config: --precision int8 + DEEPLIIF_INT8_SCOPE=resblocks
+        # (fused Pallas int8 trunk, everything else bf16). Scale value is a
+        # placeholder — throughput is scale-independent; fidelity uses
+        # calibrated scales (docs/Performance.md, tests/test_precision.py)
+        from deepliif_tpu.nets import layers as L
+        params = L.quantize_conv_tree_int8(params, act_scales=4.0,
+                                           scope='resblocks')
 
     @jax.jit
     def fwd(params, x):
@@ -112,11 +120,26 @@ def main():
     }
     if os.environ.get('DEEPLIIF_BENCH_F32', '0') == '1':
         extra['f32_tiles_per_sec_b16'] = round(_bench(None, 16), 3)
+    # the fastest production config: int8-resblock trunk (fused Pallas
+    # kernel, --precision int8 + DEEPLIIF_INT8_SCOPE=resblocks), measured
+    # 95.0 vs 72.0 bf16 at batch 128 (experiments/bench_int8_fused.json).
+    # Fidelity gates: tests/test_precision.py + tests/test_tpu_hardware.py.
+    metric = '512x512 tiles/sec/chip (4-modality+seg ensemble, bf16)'
+    tps = tps_bf16
+    try:
+        tps_int8 = _bench(jnp.bfloat16, batch, int8_resblocks=True)
+        if tps_int8 > tps_bf16:
+            metric = ('512x512 tiles/sec/chip (4-modality+seg ensemble, '
+                      'int8-resblock trunk + bf16)')
+            tps = tps_int8
+            extra['bf16_tiles_per_sec'] = round(tps_bf16, 3)
+    except Exception as e:  # Mosaic/libtpu variance: bf16 number stands
+        extra['int8_fused_error'] = f'{type(e).__name__}: {str(e)[:120]}'
     print(json.dumps({
-        'metric': '512x512 tiles/sec/chip (4-modality+seg ensemble, bf16)',
-        'value': round(tps_bf16, 3),
+        'metric': metric,
+        'value': round(tps, 3),
         'unit': 'tiles/sec/chip',
-        'vs_baseline': round(tps_bf16 / BASELINE_TORCH_GPU_TPS, 2),
+        'vs_baseline': round(tps / BASELINE_TORCH_GPU_TPS, 2),
         'extra': extra,
     }))
 

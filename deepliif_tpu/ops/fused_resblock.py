@@ -274,10 +274,12 @@ def _kernel_int8(scale_ref, bias_ref, inva_ref, x_ref, deq_ref, w_ref,
 
     # ---- static quantization, same lattice as layers.conv2d's 'a_s' path:
     # the scale multiply runs in u's dtype so the fused and XLA int8 paths
-    # round through identical bf16 values
+    # round through identical bf16 values; the roundeven itself runs in f32
+    # (Mosaic has no bf16 roundeven lowering) — every bf16 value is f32-exact
+    # and the rounded integers are <=127, so the integers are identical
     inva = inva_ref[0, 0]
-    q = jnp.clip(jnp.round(u * inva.astype(u.dtype)), -127, 127
-                 ).astype(jnp.int8)
+    v = (u * inva.astype(u.dtype)).astype(jnp.float32)
+    q = jnp.clip(jnp.round(v), -127, 127).astype(jnp.int8)
 
     if padding == 'reflect':
         left = jnp.concatenate([q[:, 1:2], q[:, :-1]], axis=1)
