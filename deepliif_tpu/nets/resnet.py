@@ -79,11 +79,11 @@ def _fused_ok(x, norm, padding_type, train, use_dropout):
         return False
     if flag == '1':
         return True
-    # bf16 only on hardware: the kernel's scoped-VMEM stack is ~14.7 MB at
-    # bf16 (just under Mosaic's 16 MB limit) and ~29.5 MB at f32, which
-    # fails to compile — f32 inference takes the XLA path instead
-    # (ops/fused_resblock.py in_specs note; measured on v5e, round 3)
-    if getattr(x, 'dtype', None) != jnp.bfloat16:
+    # bf16 runs chunk 16 (~14.7 MB scoped VMEM, under Mosaic's 16 MB
+    # limit); f32 auto-clamps to chunk 8 in conv3x3_stats — chunk 16
+    # (~29.5 MB) fails to compile but chunk 8 fits and beats the XLA path
+    # (40.4 vs 35.9 tiles/s b16; experiments/bench_f32_fused.py, v5e r3)
+    if getattr(x, 'dtype', None) not in (jnp.bfloat16, jnp.float32):
         return False
     return jax.default_backend() == 'tpu'
 

@@ -148,12 +148,15 @@ def conv3x3_stats(x, w, *, padding='reflect', in_scale=None, in_bias=None,
     # DEEPLIIF_FUSED_CHUNK overrides the row-chunk height. The default 16
     # puts the kernel's scoped-VMEM stack at ~14.7 MB bf16 against Mosaic's
     # 16 MB limit; 8 halves the out/scratch share (~11 MB) for a measured
-    # 1.2% throughput cost (70.9 vs 71.7 tiles/s b128) — the ready
-    # mitigation if a toolchain update tightens the accounting again the
-    # way it did for f32 (docs/Performance.md).
+    # 1.2% throughput cost (70.9 vs 71.7 tiles/s b128). At f32 the
+    # chunk-16 stack (~29.5 MB) fails to compile, but chunk 8 fits AND
+    # beats the XLA resblock path (40.4 vs 35.9 tiles/s b16,
+    # experiments/bench_f32_fused.py) — so f32 clamps to 8 by default.
     env_ch = os.environ.get('DEEPLIIF_FUSED_CHUNK')
     if env_ch:
         chunk_rows = int(env_ch)
+    elif x.dtype == jnp.float32:
+        chunk_rows = min(chunk_rows, 8)
     ch = min(chunk_rows, h)
     assert h % ch == 0, (h, ch)
     assert padding in ('reflect', 'zero')
