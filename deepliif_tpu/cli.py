@@ -687,13 +687,23 @@ def compute_statistics(gt_dir, model_output_dir, model_name, image_size,
 @click.option('--int8-scope', default=None,
               type=click.Choice(['all', 'resblocks']),
               help='which convs --precision int8 quantizes (see `test`)')
-def serve(model_dir, host, port, max_batch, precision, int8_scope):
+@click.option('--max-image-dim', default=4096, type=int,
+              help='reject larger request images with 400 (the reference '
+                   'cloud client bound, DeepliifClient.java:23-24); larger '
+                   'inputs belong on test-wsi')
+@click.option('--request-timeout', default=60.0, type=float,
+              help='per-request budget in seconds -> 504 (the reference '
+                   'cloud contract, README.md:406); 0 disables')
+def serve(model_dir, host, port, max_batch, precision, int8_scope,
+          max_image_dim, request_timeout):
     """Run the REST API server (POST /api/infer, /api/postprocess) —
     the reference cloud contract, so the ImageJ plugin works unchanged."""
     from .serve import serve as run_server
     if int8_scope is not None:
         os.environ['DEEPLIIF_INT8_SCOPE'] = int8_scope
-    run_server(model_dir, host, port, max_batch, precision=precision)
+    run_server(model_dir, host, port, max_batch, precision=precision,
+               max_image_dim=max_image_dim,
+               request_timeout=request_timeout or None)
 
 
 @cli.command()

@@ -35,6 +35,35 @@ class _BadRequest(ValueError):
     """Client-visible request validation error -> HTTP 400."""
 
 
+class _Timeout(RuntimeError):
+    """Per-request budget exceeded -> HTTP 504 (the reference cloud's
+    behavior beyond its ~60 s budget, reference README.md:406)."""
+
+
+def _run_with_deadline(fn, timeout):
+    """Run fn() with a wall-clock budget. On timeout the worker thread is
+    abandoned (daemon; the device call it may hold finishes and warms the
+    jit cache for the retry) and the caller gets _Timeout -> 504."""
+    if not timeout:
+        return fn()
+    box = {}
+
+    def run():
+        try:
+            box['r'] = fn()
+        except BaseException as e:  # noqa: BLE001 — re-raised in caller
+            box['e'] = e
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout)
+    if t.is_alive():
+        raise _Timeout(f'request exceeded the {timeout:.0f}s budget')
+    if 'e' in box:
+        raise box['e']
+    return box['r']
+
+
 def parse_multipart(body, content_type):
     """Minimal multipart/form-data parser -> {field_name: bytes}.
 
@@ -95,7 +124,20 @@ def _parse_thresholds(q):
 
 def make_handler(model_dir, max_batch=None, batch_workers=4,
                  max_retained_tasks=512, max_pending_tasks=256,
-                 precision=None):
+                 precision=None, max_image_dim=4096, max_body_bytes=None,
+                 request_timeout=60.0):
+    """max_image_dim: reject images beyond this per side with 400 — the
+    reference cloud's own clients are bounded at 4096x4096
+    (DeepliifClient.java:23-24); larger inputs belong on the test-wsi path.
+    max_body_bytes: reject bodies beyond this with 413 before decoding
+    (default: enough for a max_image_dim RGBA PNG plus multipart framing).
+    request_timeout: per-request wall-clock budget in seconds -> 504, the
+    reference cloud contract (README.md:406). None/0 disables. The first
+    request after startup compiles the ensemble (tens of seconds on TPU);
+    a timed-out first request leaves the compile running, so the retry
+    hits the warm cache."""
+    if max_body_bytes is None:
+        max_body_bytes = 4 * max_image_dim * max_image_dim + (1 << 20)
     from collections import OrderedDict
     from concurrent.futures import ThreadPoolExecutor
 
@@ -183,6 +225,13 @@ def make_handler(model_dir, max_batch=None, batch_workers=4,
                 url = urlparse(self.path)
                 q = parse_qs(url.query, keep_blank_values=True)
                 length = int(self.headers.get('Content-Length', 0))
+                if length > max_body_bytes:
+                    # refuse before buffering: a multi-GB upload must not
+                    # occupy server memory just to be rejected
+                    self._json(413, {'error':
+                                     f'request body {length} bytes exceeds '
+                                     f'the {max_body_bytes}-byte limit'})
+                    return
                 body = self.rfile.read(length)
                 fields = parse_multipart(body, self.headers.get('Content-Type', ''))
 
@@ -202,6 +251,11 @@ def make_handler(model_dir, max_batch=None, batch_workers=4,
             if 'img' not in fields:
                 raise _BadRequest("missing file parameter 'img'")
             img = Image.open(io.BytesIO(fields['img'])).convert('RGB')
+            if max(img.size) > max_image_dim:
+                raise _BadRequest(
+                    f'image {img.size[0]}x{img.size[1]} exceeds the '
+                    f'{max_image_dim}x{max_image_dim} request limit '
+                    f'(use the WSI pipeline for larger inputs)')
             resolution = q.get('resolution', ['40x'])[0]
             tile_size = RESOLUTION_TILE_SIZE.get(resolution, 512)
             slim = 'slim' in q
@@ -232,12 +286,15 @@ def make_handler(model_dir, max_batch=None, batch_workers=4,
 
         def _infer(self, fields, q):
             try:
-                self._json(200, self._infer_payload(fields, q))
+                self._json(200, _run_with_deadline(
+                    lambda: self._infer_payload(fields, q), request_timeout))
             except _BadRequest as e:
                 # only OUR validation errors are client errors — a broad
                 # KeyError catch would report internal dict-lookup bugs
                 # (e.g. an unregistered model name) as 400s
                 self._json(400, {'error': str(e)})
+            except _Timeout as e:
+                self._json(504, {'error': str(e)})
 
         def _batch_infer(self, fields, q):
             """Async submit + poll (the ImageJ plugin contract,
@@ -261,7 +318,8 @@ def make_handler(model_dir, max_batch=None, batch_workers=4,
 
             def work():
                 try:
-                    result = payload_fn(fields, q)
+                    result = _run_with_deadline(
+                        lambda: payload_fn(fields, q), request_timeout)
                     _store_task(task_id, {'state': 'SUCCESS', 'result': result})
                 except Exception as e:  # noqa: BLE001
                     _store_task(task_id, {'state': 'FAILURE',
@@ -276,6 +334,11 @@ def make_handler(model_dir, max_batch=None, batch_workers=4,
                     self._json(400, {'error': f"missing file parameter '{req}'"})
                     return
             img = Image.open(io.BytesIO(fields['img'])).convert('RGB')
+            if max(img.size) > max_image_dim:
+                self._json(400, {'error':
+                                 f'image {img.size[0]}x{img.size[1]} exceeds '
+                                 f'the {max_image_dim}x{max_image_dim} limit'})
+                return
             seg = Image.open(io.BytesIO(fields['seg_img'])).convert('RGB')
             marker = None
             if 'marker_img' in fields:
@@ -284,25 +347,34 @@ def make_handler(model_dir, max_batch=None, batch_workers=4,
                     Image.open(io.BytesIO(fields['marker_img'])), True)
             resolution = q.get('resolution', ['40x'])[0]
             prob_thresh, size_thresh, size_up, marker_thresh = _parse_thresholds(q)
-            overlay, refined, scoring = pp.compute_final_results(
-                img, seg, marker, resolution, size_thresh, marker_thresh,
-                size_up, prob_thresh)
-            self._json(200, {
-                'images': {
-                    'SegOverlaid': _b64_png(Image.fromarray(overlay)),
-                    'SegRefined': _b64_png(Image.fromarray(refined)),
-                },
-                'scoring': scoring,
-            })
+
+            def run():
+                overlay, refined, scoring = pp.compute_final_results(
+                    img, seg, marker, resolution, size_thresh, marker_thresh,
+                    size_up, prob_thresh)
+                return {
+                    'images': {
+                        'SegOverlaid': _b64_png(Image.fromarray(overlay)),
+                        'SegRefined': _b64_png(Image.fromarray(refined)),
+                    },
+                    'scoring': scoring,
+                }
+
+            try:
+                self._json(200, _run_with_deadline(run, request_timeout))
+            except _Timeout as e:
+                self._json(504, {'error': str(e)})
 
     return Handler
 
 
 def serve(model_dir, host='0.0.0.0', port=8080, max_batch=None,
-          precision=None):
+          precision=None, max_image_dim=4096, request_timeout=60.0):
     server = ThreadingHTTPServer(
         (host, port),
-        make_handler(model_dir, max_batch=max_batch, precision=precision))
+        make_handler(model_dir, max_batch=max_batch, precision=precision,
+                     max_image_dim=max_image_dim,
+                     request_timeout=request_timeout))
     print(f'serving DeepLIIF-TPU model {model_dir} on {host}:{port}')
     server.serve_forever()
 
@@ -314,8 +386,17 @@ def main():
     ap.add_argument('--host', default='0.0.0.0')
     ap.add_argument('--port', type=int, default=8080)
     ap.add_argument('--max-batch', type=int, default=None)
+    ap.add_argument('--max-image-dim', type=int, default=4096,
+                    help='reject larger images with 400 (reference client '
+                         'bound, DeepliifClient.java:23-24)')
+    ap.add_argument('--request-timeout', type=float, default=60.0,
+                    help='per-request budget in seconds -> 504 '
+                         '(reference cloud contract, README.md:406); '
+                         '0 disables')
     args = ap.parse_args()
-    serve(args.model_dir, args.host, args.port, args.max_batch)
+    serve(args.model_dir, args.host, args.port, args.max_batch,
+          max_image_dim=args.max_image_dim,
+          request_timeout=args.request_timeout or None)
 
 
 if __name__ == '__main__':

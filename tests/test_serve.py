@@ -311,6 +311,134 @@ def test_batch_task_eviction(model_dir):
         srv.shutdown()
 
 
+def test_oversized_image_is_400(model_dir):
+    """The reference cloud's own clients are bounded at 4096x4096
+    (DeepliifClient.java:23-24); the server enforces the same cap with a
+    clean 400 instead of grinding through a giant tile batch (round-3
+    VERDICT item 6). Cap lowered here so the test image stays small."""
+    srv = ThreadingHTTPServer(
+        ('127.0.0.1', 0), make_handler(model_dir, max_image_dim=128))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f'http://127.0.0.1:{srv.server_address[1]}'
+    try:
+        img = np.zeros((256, 256, 3), np.uint8)
+        status, data = _post(base + '/api/infer', {'img': _png_bytes(img)})
+        assert status == 400
+        assert '128x128' in data['error']
+        # postprocess enforces the same bound
+        status, data = _post(base + '/api/postprocess',
+                             {'img': _png_bytes(img),
+                              'seg_img': _png_bytes(img)})
+        assert status == 400
+    finally:
+        srv.shutdown()
+
+
+def test_oversized_body_is_413(model_dir):
+    """Bodies beyond max_body_bytes are refused from the Content-Length
+    header, before the server buffers anything."""
+    srv = ThreadingHTTPServer(
+        ('127.0.0.1', 0), make_handler(model_dir, max_body_bytes=1024))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f'http://127.0.0.1:{srv.server_address[1]}'
+    try:
+        img = np.random.default_rng(0).integers(
+            0, 255, (64, 64, 3), np.uint8)  # PNG ~ 12 KB > 1 KB cap
+        status, data = _post(base + '/api/infer', {'img': _png_bytes(img)})
+        assert status == 413
+        assert 'limit' in data['error']
+    finally:
+        srv.shutdown()
+
+
+def test_request_timeout_is_504(model_dir):
+    """Per-request budget -> 504, the reference cloud contract beyond its
+    ~60 s budget (reference README.md:406). Budget shrunk to make any real
+    inference exceed it."""
+    srv = ThreadingHTTPServer(
+        ('127.0.0.1', 0), make_handler(model_dir, request_timeout=1e-3))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f'http://127.0.0.1:{srv.server_address[1]}'
+    try:
+        img = np.zeros((64, 64, 3), np.uint8)
+        status, data = _post(base + '/api/infer', {'img': _png_bytes(img)})
+        assert status == 504
+        assert 'budget' in data['error']
+    finally:
+        srv.shutdown()
+
+
+def test_dispatch_fairness_oldest_first():
+    """Group leaders are served strictly oldest-first: a request with an
+    unusual config (different tile shape) becomes the NEXT device call as
+    soon as it is the oldest waiter — it cannot be leapfrogged by a stream
+    of coalescable traffic (round-3 VERDICT weak 6: the old dispatcher
+    re-queued non-coalescable requests at the BACK of the shared queue,
+    behind later arrivals)."""
+    import time
+    from deepliif_tpu.serve.dispatch import DispatchSession
+    fake = _FakeSession(max_batch=8, delay=0.25)
+    ds = DispatchSession(fake)
+    done = []
+
+    def client(tag, shape, delay):
+        time.sleep(delay)
+        ds.run_tiles(np.zeros((2,) + shape + (3,), np.uint8))
+        done.append(tag)
+
+    threads = [
+        # A0 occupies the device; B arrives before A1/A2 but cannot share
+        # their calls (different tile shape)
+        threading.Thread(target=client, args=('A0', (8, 8), 0.0)),
+        threading.Thread(target=client, args=('B', (4, 4), 0.08)),
+        threading.Thread(target=client, args=('A1', (8, 8), 0.14)),
+        threading.Thread(target=client, args=('A2', (8, 8), 0.17)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    ds.close()
+    # B was the oldest waiter when A0's call finished, so it led call 2;
+    # A1+A2 coalesced into call 3 behind it
+    assert done[0] == 'A0'
+    assert done[1] == 'B', (done, fake.batch_sizes)
+    assert len(fake.batch_sizes) == 3, fake.batch_sizes
+
+
+def test_dispatch_fairness_under_sustained_load():
+    """Under a sustained stream of coalescable requests, one odd-config
+    request completes within a bounded number of device calls (no
+    starvation/aging hazard)."""
+    import time
+    from deepliif_tpu.serve.dispatch import DispatchSession
+    fake = _FakeSession(max_batch=16, delay=0.04)
+    ds = DispatchSession(fake)
+    stop = threading.Event()
+
+    def hog():
+        while not stop.is_set():
+            ds.run_tiles(np.zeros((2, 8, 8, 3), np.uint8))
+
+    hogs = [threading.Thread(target=hog, daemon=True) for _ in range(4)]
+    for t in hogs:
+        t.start()
+    time.sleep(0.2)                       # stream established
+    t0 = time.time()
+    out = ds.run_tiles(np.zeros((1, 4, 4, 3), np.uint8))
+    b_latency = time.time() - t0
+    stop.set()
+    for t in hogs:
+        t.join(timeout=10)
+    ds.close()
+    assert out['G1'].shape == (1, 4, 4, 3)
+    # oldest-first: served within ~2 device calls (80 ms) + scheduling slack
+    assert b_latency < 1.0, b_latency
+
+
 def test_batch_pending_cap_rejects(model_dir):
     """PENDING tasks are bounded independently of the completed-task LRU:
     beyond max_pending_tasks, submits get 503 instead of queueing the
