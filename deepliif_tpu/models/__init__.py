@@ -117,7 +117,17 @@ class InferenceSession:
             # at 48; 192 exceeds HBM at compile). Per chip; scaled by the
             # mesh size. Small inputs still use small power-of-two buckets
             # (_bucket), so latency is unaffected.
-            max_batch = (128 if self.d.dtype is not None else 16) * self.n_devices
+            per_chip = 128 if self.d.dtype is not None else 16
+            if getattr(self.d, 'quant_int8', False):
+                from ..nets import layers as _L
+                if _L.int8_scope_predicate() is None:
+                    # scope 'all': convs outside the fused resblock chain
+                    # run the XLA int8 path, whose int8/int32 HBM temps
+                    # fail to compile at per-chip batch >= 48 on v5e
+                    # (docs/Performance.md 'int8 quantized inference') —
+                    # clamp so mesh and single-chip sessions both fit
+                    per_chip = min(per_chip, 32)
+            max_batch = per_chip * self.n_devices
         self.max_batch = max_batch
         self.params = self._load_params(model_dir)
         self.act_scales = None
@@ -224,10 +234,10 @@ class InferenceSession:
         if key not in self._jitted:
             import dataclasses
             d = self.d
-            if self.mesh is not None and hasattr(d, 'allow_fused'):
-                # pallas_call has no SPMD partitioning rules — keep the
-                # sharded program on the pure-XLA path
-                d = dataclasses.replace(d, allow_fused=False)
+            # the mesh path runs through shard_map (parallel.
+            # make_sharded_forward), under which pallas_call has local
+            # per-device semantics — the fused bf16/int8 kernels stay
+            # engaged per chip, same as single-device
             if mod_only and self.family == 'deepliif' and d.seg_gen:
                 # prune the 5 seg branches entirely (reference mod_only skips
                 # stage 2, models/__init__.py:330-334)

@@ -64,8 +64,10 @@ class DeepLIIFDef:
     replicate_seg_weight_quirk: bool = False
     dtype: Any = None                 # compute dtype for inference (None=f32)
     allow_fused: bool = True          # permit the Pallas fused-resblock path
-                                      # (disabled under multi-device sharding:
-                                      # pallas_call has no SPMD partition rules)
+                                      # (works under multi-device sharding too:
+                                      # the mesh inference path wraps the
+                                      # forward in shard_map, which gives
+                                      # pallas_call local per-device semantics)
     quant_int8: bool = False          # int8 weights+activations on interior
                                       # convs (f32 accumulation); inference
                                       # only, --precision int8

@@ -196,6 +196,11 @@ def apply(p, x, *, n_blocks=9, norm='batch', use_dropout=True,
     if (os.environ.get('DEEPLIIF_FUSE_STAGES') == '1'
             and allow_fused and not train and upsample == 'convtranspose'
             and x.ndim == 4
+            # bf16 only: the labs stage kernels run a fixed chunk 16 with
+            # no f32 VMEM clamp (unlike ops.fused_resblock._resolve_chunk),
+            # so f32 through this opt-in path would hit the same Mosaic
+            # compile failure the f32 resblock kernel had at chunk 16
+            and x.dtype == jnp.bfloat16
             and _fused_ok(jax.ShapeDtypeStruct(
                 (x.shape[0], x.shape[1] // 4, x.shape[2] // 4,
                  p['down1_conv']['w'].shape[-1]), x.dtype),

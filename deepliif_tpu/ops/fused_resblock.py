@@ -136,6 +136,25 @@ def _kernel(scale_ref, bias_ref, x_ref, w_ref, y_ref, st_ref, blk, sem,
         st_ref[0] += st
 
 
+def _resolve_chunk(chunk_rows, dtype):
+    """Row-chunk height with the per-dtype VMEM clamp. The default 16
+    puts the kernel's scoped-VMEM stack at ~14.7 MB bf16 against Mosaic's
+    16 MB limit; 8 halves the out/scratch share (~11 MB) for a measured
+    1.2% throughput cost (70.9 vs 71.7 tiles/s b128). At f32 the
+    chunk-16 stack (~29.5 MB) fails to compile, but chunk 8 fits AND
+    beats the XLA resblock path (40.4 vs 35.9 tiles/s b16,
+    experiments/bench_f32_fused.py) — so f32 ALWAYS clamps to 8, even
+    under the DEEPLIIF_FUSED_CHUNK override (which a user may set for
+    bf16 tuning; letting it break every f32 graph in the same process
+    with a Mosaic compile error would be per-dtype-unsafe)."""
+    env_ch = os.environ.get('DEEPLIIF_FUSED_CHUNK')
+    if env_ch:
+        chunk_rows = int(env_ch)
+    if dtype == jnp.float32:
+        chunk_rows = min(chunk_rows, 8)
+    return chunk_rows
+
+
 def conv3x3_stats(x, w, *, padding='reflect', in_scale=None, in_bias=None,
                   in_relu=False, chunk_rows=16, interpret=False):
     """Fused (affine -> relu ->) conv3x3 (stride 1, 'same' via reflect/zero
@@ -145,18 +164,7 @@ def conv3x3_stats(x, w, *, padding='reflect', in_scale=None, in_bias=None,
     Returns (y (S,H,W,C) in x.dtype, stats (S,2,C) f32 [sum, sum-of-squares]).
     """
     s_n, h, w_n, c = x.shape
-    # DEEPLIIF_FUSED_CHUNK overrides the row-chunk height. The default 16
-    # puts the kernel's scoped-VMEM stack at ~14.7 MB bf16 against Mosaic's
-    # 16 MB limit; 8 halves the out/scratch share (~11 MB) for a measured
-    # 1.2% throughput cost (70.9 vs 71.7 tiles/s b128). At f32 the
-    # chunk-16 stack (~29.5 MB) fails to compile, but chunk 8 fits AND
-    # beats the XLA resblock path (40.4 vs 35.9 tiles/s b16,
-    # experiments/bench_f32_fused.py) — so f32 clamps to 8 by default.
-    env_ch = os.environ.get('DEEPLIIF_FUSED_CHUNK')
-    if env_ch:
-        chunk_rows = int(env_ch)
-    elif x.dtype == jnp.float32:
-        chunk_rows = min(chunk_rows, 8)
+    chunk_rows = _resolve_chunk(chunk_rows, x.dtype)
     ch = min(chunk_rows, h)
     assert h % ch == 0, (h, ch)
     assert padding in ('reflect', 'zero')
@@ -182,10 +190,10 @@ def conv3x3_stats(x, w, *, padding='reflect', in_scale=None, in_bias=None,
             # x pinned to HBM (the DMA pipeline assumes it; pl.ANY lets the
             # compiler second-guess). Interpret mode has no Mosaic memory
             # spaces, so keep ANY there. NOTE: the kernel's scoped-VMEM
-            # stack is ~14.7 MB at bf16 (out+scratch+weights, pipelined x2)
-            # against the 16 MB limit — f32 doubles that and fails to
-            # compile, which is why nets.resnet only engages this path for
-            # bf16 (measured on hardware, round 3).
+            # stack is ~14.7 MB at bf16 chunk 16 (out+scratch+weights,
+            # pipelined x2) against the 16 MB limit; f32 doubles per-row
+            # cost, so _resolve_chunk auto-clamps f32 to chunk 8 (~11 MB),
+            # which fits and beats the XLA path (measured, round 3).
             pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
             pl.BlockSpec((3, 3, c, c), lambda s, r: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),      # weights resident
@@ -332,9 +340,9 @@ def conv3x3_stats_int8(x, w_q, deq, inv_a, *, padding='reflect',
     nothing wider than x.dtype touching HBM.
     """
     s_n, h, w_n, c = x.shape
-    env_ch = os.environ.get('DEEPLIIF_FUSED_CHUNK')
-    if env_ch:
-        chunk_rows = int(env_ch)
+    # same per-dtype clamp as conv3x3_stats: the scratch/out buffers are in
+    # x.dtype, so f32 activations double the VMEM stack here too
+    chunk_rows = _resolve_chunk(chunk_rows, x.dtype)
     ch = min(chunk_rows, h)
     assert h % ch == 0, (h, ch)
     assert padding in ('reflect', 'zero')

@@ -140,13 +140,17 @@ def _cell_count_rmse(model_outputs, gt_metrics, tile_size, model):
 def train_model(opt):
     """Run the full training; returns the final TrainState.
 
-    Dispatches by model family: DeepLIIF/DeepLIIFKD/DeepLIIFExt/SDG share
-    the fused G+D step; CycleGAN routes to its two-step pool-based loop."""
+    ONE loop for every family (reference cli.py:422-570 does the same):
+    DeepLIIF/DeepLIIFKD/DeepLIIFExt/SDG run a single fused G+D jitted step;
+    CycleGAN's step driver interleaves its two jitted steps with the host
+    image-pool query — but iteration saves, --save-by-iter, continue-train
+    resume, epoch_base, debug caps, display and LR policies are the same
+    code path for all five."""
     model = getattr(opt, 'model', 'DeepLIIF')
     if model == 'CycleGAN':
-        return _train_cyclegan(opt)
-
-    if model == 'DeepLIIFExt':
+        from .models import cyclegan as cg
+        d = cg.def_from_opt(opt)
+    elif model == 'DeepLIIFExt':
         from . import models as _m
         from .models import deepliif_ext as ext
         d = ext.def_from_opt(opt)
@@ -183,6 +187,9 @@ def train_model(opt):
         from .models import deepliif_kd as kd
         teacher = kd.load_teacher(opt.model_dir_teacher)
         state, g_tx, d_tx = kd.create_train_state(key, d, opt, steps_per_epoch)
+    elif model == 'CycleGAN':
+        from .models import cyclegan as cg
+        state, g_tx, d_tx = cg.create_train_state(key, d, opt, steps_per_epoch)
     else:
         state, g_tx, d_tx = dl.create_train_state(key, d, opt, steps_per_epoch)
 
@@ -231,6 +238,36 @@ def train_model(opt):
         from .models import deepliif_kd as kd
         step_body = kd.make_train_step_body(d, g_tx, d_tx, vgg_params,
                                             teacher[0], teacher[1])
+    elif model == 'CycleGAN':
+        # CycleGAN's step is two jitted programs with the image-pool query
+        # (host-side ring-buffer state, reference CycleGAN_model.py:108-109)
+        # between them: G update -> pool swap of the fakes -> D update on
+        # the pooled fakes. The driver presents the same
+        # (state, batch, rng) -> (state, metrics, g_out) signature as the
+        # other families so the surrounding loop is shared.
+        from .models import cyclegan as cg
+        g_step, d_step = cg.make_train_steps(d, g_tx, d_tx, vgg_params)
+        pool_size = getattr(opt, 'pool_size', 50)
+        seed0 = getattr(opt, 'seed', None) or 0
+        pools_a = [cg.ImagePool(pool_size, seed0 + i)
+                   for i in range(d.modalities_no)]
+        pools_b = [cg.ImagePool(pool_size, seed0 + 100 + i)
+                   for i in range(d.modalities_no)]
+
+        def step_body(state, jbatch, rng):
+            real_as = jnp.broadcast_to(
+                jnp.asarray(jbatch['A'])[None],
+                (d.modalities_no,) + tuple(jbatch['A'].shape))
+            real_bs = jnp.asarray(jbatch['B_mods'])[:d.modalities_no]
+            state, gm, outs = g_step(state, real_as, real_bs, rng)
+            fb = jnp.stack([jnp.asarray(pools_b[i].query(
+                np.asarray(outs['fake_bs'][i])))
+                for i in range(d.modalities_no)])
+            fa = jnp.stack([jnp.asarray(pools_a[i].query(
+                np.asarray(outs['fake_as'][i])))
+                for i in range(d.modalities_no)])
+            state, dm = d_step(state, fb, fa, real_as, real_bs)
+            return state, {**gm, **dm}, {'mods': outs['fake_bs']}
     else:
         step_body = dl.make_train_step_body(d, g_tx, d_tx, vgg_params)
 
@@ -239,8 +276,15 @@ def train_model(opt):
     # batch_size is PER HOST (the loader yields that many rank-strided
     # samples); the sharded step sees the global batch across processes
     global_batch = batch * jax.process_count()
-    use_mesh = len(devices) > 1 and global_batch % len(devices) == 0
-    if use_mesh:
+    # CycleGAN can't fuse into one sharded program (host pool between its
+    # two steps); it runs the jitted steps on the default device
+    use_mesh = (model != 'CycleGAN' and len(devices) > 1
+                and global_batch % len(devices) == 0)
+    if model == 'CycleGAN':
+        mesh = None
+        data_sh = None
+        step_fn = step_body   # already drives jitted inner steps
+    elif use_mesh:
         mesh = parallel.get_mesh()
         state = parallel.replicate(mesh, state)
         vgg_params = parallel.replicate(mesh, vgg_params)
@@ -384,69 +428,6 @@ def train_model(opt):
 
     _save_state(save_dir, state, 'latest', getattr(opt, 'remote_transfer_cmd', None), getattr(opt, 'checkpoint_format', 'npz'))
     visualizer.plot_to_png()
-    return state, metrics
-
-
-def _train_cyclegan(opt):
-    """CycleGAN loop: jitted G step -> host image-pool query -> jitted D step
-    (reference optimize_parameters order, CycleGAN_model.py:269-283)."""
-    from .models import cyclegan as cg
-
-    d = cg.def_from_opt(opt)
-    dataset = create_dataset(opt, phase='train')
-    steps_per_epoch = max(1, len(dataset) // max(1, opt.batch_size))
-    print(f'The number of training images = {len(dataset)}')
-    save_options(opt)
-
-    key = jax.random.PRNGKey(getattr(opt, 'seed', None) or 0)
-    state, g_tx, d_tx = cg.create_train_state(key, d, opt, steps_per_epoch)
-    vgg_params = vgg.init()
-    g_step, d_step = cg.make_train_steps(d, g_tx, d_tx, vgg_params)
-
-    pool_size = getattr(opt, 'pool_size', 50)
-    seed = getattr(opt, 'seed', None) or 0
-    pools_a = [cg.ImagePool(pool_size, seed + i) for i in range(d.modalities_no)]
-    pools_b = [cg.ImagePool(pool_size, seed + 100 + i) for i in range(d.modalities_no)]
-
-    visualizer = Visualizer(opt)
-    rng = jax.random.PRNGKey(seed + 1)
-    save_dir = os.path.join(opt.checkpoints_dir, opt.name)
-    total_iters = 0
-    print_freq = getattr(opt, 'print_freq', 100)
-    save_epoch_freq = getattr(opt, 'save_epoch_freq', 100)
-    n_total = getattr(opt, 'n_epochs', 100) + getattr(opt, 'n_epochs_decay', 100)
-    metrics = {}
-
-    for epoch in range(getattr(opt, 'epoch_count', 1), n_total + 1):
-        epoch_start = time.time()
-        dataset.set_epoch(epoch)
-        for data in dataset:
-            iter_start = time.time()
-            total_iters += opt.batch_size
-            rng, step_rng = jax.random.split(rng)
-            real_as = jnp.broadcast_to(
-                jnp.asarray(data['A'])[None],
-                (d.modalities_no,) + data['A'].shape)
-            real_bs = jnp.asarray(data['B_mods'])[:d.modalities_no]
-            state, gm, outs = g_step(state, real_as, real_bs, step_rng)
-            fb = jnp.stack([jnp.asarray(pools_b[i].query(np.asarray(outs['fake_bs'][i])))
-                            for i in range(d.modalities_no)])
-            fa = jnp.stack([jnp.asarray(pools_a[i].query(np.asarray(outs['fake_as'][i])))
-                            for i in range(d.modalities_no)])
-            state, dm = d_step(state, fb, fa, real_as, real_bs)
-            metrics = {**gm, **dm}
-            if total_iters % print_freq == 0:
-                m = {k: float(np.mean(v)) for k, v in metrics.items()}
-                visualizer.print_current_losses(
-                    epoch, total_iters, m, (time.time() - iter_start), 0.0)
-                visualizer.plot_current_losses(
-                    epoch, total_iters / max(1, len(dataset)), m)
-        if epoch % save_epoch_freq == 0:
-            _save_state(save_dir, state, 'latest', getattr(opt, 'remote_transfer_cmd', None), getattr(opt, 'checkpoint_format', 'npz'))
-            _save_state(save_dir, state, str(epoch), getattr(opt, 'remote_transfer_cmd', None), getattr(opt, 'checkpoint_format', 'npz'))
-        print(f'End of epoch {epoch} / {n_total} \t '
-              f'Time Taken: {time.time() - epoch_start:.0f} sec')
-    _save_state(save_dir, state, 'latest', getattr(opt, 'remote_transfer_cmd', None), getattr(opt, 'checkpoint_format', 'npz'))
     return state, metrics
 
 

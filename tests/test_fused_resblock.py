@@ -94,21 +94,30 @@ def test_generator_forward_fused_unroll_parity():
     assert float(jnp.abs(s1 - s0).max()) < 1e-4
 
 
-def test_fused_gate_is_bf16_only_on_tpu(monkeypatch):
-    """Auto mode engages the kernel only for bf16 on a TPU backend: the
-    kernel's scoped-VMEM stack (~14.7 MB bf16) doubles at f32 and fails to
-    compile on hardware (docs/Performance.md 'Fused Pallas resblock
-    kernel'), so f32 must fall back to the XLA path. Regression for the
-    round-3 flagship-f32 compile failure."""
+def test_fused_gate_dtypes_on_tpu(monkeypatch):
+    """Auto mode engages the kernel for bf16 (chunk 16) AND f32 on a TPU
+    backend: conv3x3_stats auto-clamps f32 to chunk 8, which fits VMEM and
+    beats the XLA path (40.4 vs 35.9 tiles/s b16 — docs/Performance.md
+    'Fused Pallas resblock kernel'). Other dtypes fall back to XLA."""
     monkeypatch.delenv('DEEPLIIF_FUSED', raising=False)
     monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
     ok = lambda dt: resnet._fused_ok(
         jax.ShapeDtypeStruct((1, 128, 128, 256), dt), 'batch', 'zero',
         False, True)
     assert ok(jnp.bfloat16)
-    assert not ok(jnp.float32)
-    # explicit override still wins (tests drive f32 interpreted on CPU)
-    monkeypatch.setenv('DEEPLIIF_FUSED', '1')
     assert ok(jnp.float32)
+    assert not ok(jnp.float16)
+    # explicit overrides still win
     monkeypatch.setenv('DEEPLIIF_FUSED', '0')
     assert not ok(jnp.bfloat16)
+
+
+def test_f32_chunk_clamp_survives_env_override(monkeypatch):
+    """DEEPLIIF_FUSED_CHUNK (a bf16 tuning knob) must not break f32 graphs
+    in the same process: _resolve_chunk clamps f32 to 8 regardless."""
+    monkeypatch.setenv('DEEPLIIF_FUSED_CHUNK', '16')
+    assert FR._resolve_chunk(16, jnp.bfloat16) == 16
+    assert FR._resolve_chunk(16, jnp.float32) == 8
+    monkeypatch.delenv('DEEPLIIF_FUSED_CHUNK')
+    assert FR._resolve_chunk(16, jnp.float32) == 8
+    assert FR._resolve_chunk(4, jnp.float32) == 4
