@@ -664,18 +664,42 @@ def _d2h_bandwidth_mbps():
         return 0.0
 
 
+# WSI-scale hardware measurement (round 4, experiments/bench_wsi_devquant.py
+# on one v5e chip; docs/Performance.md 'WSI-scale quantification'): the
+# device quantifier's compute beats the host numpy path 7-35x at every
+# canvas from 2.0 MPx (0.48 s vs 5.2 s) to 67.1 MPx (20.8 s vs 221.7 s),
+# counts exactly equal — but at 163.8 MPx single-device the labeling
+# program's int32 temporaries exceed the 16 GB HBM and CRASH the TPU
+# worker. Per-device cap set at 80 MPx (measured-good 67 MPx + margin);
+# mesh-sharded labeling divides the canvas across devices so the cap
+# scales with the mesh size.
+_DEVICE_QUANT_MAX_PX_PER_DEVICE = 80_000_000
+
+
+def _device_quant_fits(h, w, n_devices=None):
+    if n_devices is None:
+        n_devices = max(1, len(jax.devices()))
+    return h * w <= _DEVICE_QUANT_MAX_PX_PER_DEVICE * n_devices
+
+
 def _resolve_device_quant(device_quant, seg_device):
-    """The 'auto' crossover rule (round-3 VERDICT item 3): use the device
-    quantifier only when (a) the seg canvas is already device-resident
-    (fused stitch path — no upload), (b) the canvas is large enough that
-    the jitted labeling beats the host quantifier (~>=1.5 MPx), and
+    """The 'auto' crossover rule (round-3 VERDICT item 3, constants
+    re-measured at WSI scale round 4): use the device quantifier only when
+    (a) the seg canvas is already device-resident (fused stitch path — no
+    upload), (b) the canvas is large enough that the jitted labeling beats
+    the host quantifier (>=1.5 MPx; measured 10x faster at 2.0 MPx),
     (c) device->host bandwidth is PCIe-class so fetching the two result
-    canvases is not the new bottleneck. Explicit True/False always wins."""
+    canvases is not the new bottleneck, and (d) the canvas fits the
+    per-device HBM labeling budget (80 MPx/device — beyond it the worker
+    crashes, not just slows). Explicit True/False always wins — 'auto'
+    never walks into the crash regime, but a user who knows their rig can
+    still force the device path."""
     if device_quant == 'auto':
         if seg_device is None:
             return False
         h, w = int(seg_device.shape[0]), int(seg_device.shape[1])
-        return h * w >= 1_500_000 and _d2h_bandwidth_mbps() >= 200.0
+        return (h * w >= 1_500_000 and _d2h_bandwidth_mbps() >= 200.0
+                and _device_quant_fits(h, w))
     return bool(device_quant)
 
 

@@ -2,6 +2,7 @@
 
 import json
 import os
+import types
 
 import numpy as np
 import pytest
@@ -146,6 +147,16 @@ def test_device_quant_auto_crossover(model_dir, monkeypatch):
     assert M._resolve_device_quant('auto', big) is False
     assert M._resolve_device_quant(True, None) is True
     assert M._resolve_device_quant(False, big) is False
+
+    # round-4 WSI-scale HBM cap (measured: 67 MPx runs, 164 MPx crashes
+    # the worker on a 16 GB chip): 'auto' refuses canvases beyond
+    # 80 MPx/device even on a PCIe-class rig
+    monkeypatch.setattr(M, '_d2h_bandwidth_mbps', lambda: 5000.0)
+    huge = types.SimpleNamespace(shape=(30000, 30000, 3))  # 900 MPx
+    assert M._resolve_device_quant('auto', huge) is False
+    assert M._device_quant_fits(8192, 8192, n_devices=1)       # 67 MPx ok
+    assert not M._device_quant_fits(12800, 12800, n_devices=1)  # 164 MPx no
+    assert M._device_quant_fits(12800, 12800, n_devices=8)  # mesh shards it
 
     # e2e through infer_modalities with auto (host fallback on this canvas)
     from deepliif_tpu.models import infer_modalities
