@@ -147,3 +147,55 @@ assert d == 0.0, d
 print('fused int8 ok', d)
 ''')
     assert 'fused int8 ok' in out
+
+
+def test_fused_kernels_in_shard_map_on_tpu():
+    """Round-4 mesh path: pallas_call inside jax.shard_map must lower
+    through Mosaic on the real backend (the multi-chip product path,
+    parallel.make_sharded_forward). Only one physical chip exists here,
+    so this runs the exact shard_map+jit wrapper on a 1-device mesh —
+    same lowering pipeline a v5e-8 takes per chip — and asserts both the
+    bf16 and int8 fused chains compile, execute, and match the direct
+    jit byte-for-byte."""
+    out = _run_on_tpu('''
+import jax, jax.numpy as jnp, numpy as np
+assert jax.default_backend() == 'tpu', jax.default_backend()
+from deepliif_tpu.ops import fused_resblock as FR
+from deepliif_tpu import parallel
+
+rng = np.random.default_rng(3)
+c = 256
+blocks = [{'w1': jnp.asarray(rng.normal(0, 0.05, (3, 3, c, c)), jnp.bfloat16),
+           'norm1': {'scale': jnp.ones(c), 'bias': jnp.zeros(c)},
+           'w2': jnp.asarray(rng.normal(0, 0.05, (3, 3, c, c)), jnp.bfloat16),
+           'norm2': {'scale': jnp.ones(c), 'bias': jnp.zeros(c)}}]
+x = jnp.asarray(rng.normal(0, 1, (2, 128, 128, c)), jnp.bfloat16)
+
+def fwd(params, x):
+    return FR.resblock_chain(x, params, padding='reflect', interpret=False)
+
+mesh = parallel.get_mesh(1)
+sharded = parallel.make_sharded_forward(fwd, mesh)
+y_mesh = np.asarray(sharded(blocks, x).astype(jnp.float32))
+y_jit = np.asarray(jax.jit(fwd)(blocks, x).astype(jnp.float32))
+np.testing.assert_array_equal(y_mesh, y_jit)
+print('shard_map bf16 ok')
+
+ws = np.maximum(np.abs(np.asarray(blocks[0]["w1"], np.float32)).max(axis=(0, 1, 2)) / 127.0, 1e-12)
+a = np.float32(2.0 / 127.0)
+def q(w):
+    return jnp.asarray(np.clip(np.rint(np.asarray(w, np.float32) / ws), -127, 127), jnp.int8)
+qb = [{'w1q': q(b['w1']), 'w1s': jnp.asarray(ws, jnp.float32), 'a1': jnp.float32(a),
+       'w2q': q(b['w2']), 'w2s': jnp.asarray(ws, jnp.float32), 'a2': jnp.float32(a),
+       'norm1': b['norm1'], 'norm2': b['norm2']} for b in blocks]
+
+def fwd_q(params, x):
+    return FR.resblock_chain_int8(x, params, padding='reflect', interpret=False)
+
+sharded_q = parallel.make_sharded_forward(fwd_q, mesh)
+yq_mesh = np.asarray(sharded_q(qb, x).astype(jnp.float32))
+yq_jit = np.asarray(jax.jit(fwd_q)(qb, x).astype(jnp.float32))
+np.testing.assert_array_equal(yq_mesh, yq_jit)
+print('shard_map int8 ok')
+''')
+    assert 'shard_map bf16 ok' in out and 'shard_map int8 ok' in out
