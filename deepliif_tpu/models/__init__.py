@@ -678,7 +678,13 @@ _DEVICE_QUANT_MAX_PX_PER_DEVICE = 80_000_000
 
 def _device_quant_fits(h, w, n_devices=None):
     if n_devices is None:
-        n_devices = max(1, len(jax.devices()))
+        # the cap only scales with devices when mesh-sharded labeling will
+        # actually engage for THIS canvas (it is size-gated and can be
+        # disabled with DEEPLIIF_QUANT_MESH=0) — otherwise a single device
+        # must hold the whole labeling program and the per-device cap binds
+        from ..ops.labeling import _auto_quant_mesh
+        mesh = _auto_quant_mesh((h, w))
+        n_devices = mesh.devices.size if mesh is not None else 1
     return h * w <= _DEVICE_QUANT_MAX_PX_PER_DEVICE * n_devices
 
 

@@ -112,6 +112,11 @@ def g_loss_fn(g_params, d_params, batch, d: dl.DeepLIIFDef, vgg_params,
     return loss, (terms, out)
 
 
+def def_from_opt(opt):
+    """The student shares the DeepLIIF topology (ref DeepLIIFKD_model.py:9)."""
+    return dl.def_from_opt(opt)
+
+
 def create_train_state(key, d, opt, steps_per_epoch=1):
     return dl.create_train_state(key, d, opt, steps_per_epoch)
 

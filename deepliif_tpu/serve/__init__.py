@@ -130,14 +130,16 @@ def make_handler(model_dir, max_batch=None, batch_workers=4,
     reference cloud's own clients are bounded at 4096x4096
     (DeepliifClient.java:23-24); larger inputs belong on the test-wsi path.
     max_body_bytes: reject bodies beyond this with 413 before decoding
-    (default: enough for a max_image_dim RGBA PNG plus multipart framing).
+    (default: enough for THREE max_image_dim RGBA PNGs plus multipart
+    framing — /api/postprocess legitimately carries img + seg_img +
+    marker_img in one body).
     request_timeout: per-request wall-clock budget in seconds -> 504, the
     reference cloud contract (README.md:406). None/0 disables. The first
     request after startup compiles the ensemble (tens of seconds on TPU);
     a timed-out first request leaves the compile running, so the retry
     hits the warm cache."""
     if max_body_bytes is None:
-        max_body_bytes = 4 * max_image_dim * max_image_dim + (1 << 20)
+        max_body_bytes = 3 * 4 * max_image_dim * max_image_dim + (1 << 20)
     from collections import OrderedDict
     from concurrent.futures import ThreadPoolExecutor
 
@@ -247,15 +249,24 @@ def make_handler(model_dir, max_batch=None, batch_workers=4,
                 self._json(500, {'error': f'{type(e).__name__}: {e}'})
 
         @staticmethod
-        def _infer_payload(fields, q):
-            if 'img' not in fields:
-                raise _BadRequest("missing file parameter 'img'")
-            img = Image.open(io.BytesIO(fields['img'])).convert('RGB')
-            if max(img.size) > max_image_dim:
+        def _open_checked(data, name):
+            """Open + dimension-check BEFORE decoding pixels: PIL's open
+            is lazy (header only), so an oversized image is rejected
+            without paying its decode (a tiny flat-color PNG can expand
+            to hundreds of MB — the limit must run first)."""
+            im = Image.open(io.BytesIO(data))
+            if max(im.size) > max_image_dim:
                 raise _BadRequest(
-                    f'image {img.size[0]}x{img.size[1]} exceeds the '
+                    f"'{name}' {im.size[0]}x{im.size[1]} exceeds the "
                     f'{max_image_dim}x{max_image_dim} request limit '
                     f'(use the WSI pipeline for larger inputs)')
+            return im
+
+        @classmethod
+        def _infer_payload(cls, fields, q):
+            if 'img' not in fields:
+                raise _BadRequest("missing file parameter 'img'")
+            img = cls._open_checked(fields['img'], 'img').convert('RGB')
             resolution = q.get('resolution', ['40x'])[0]
             tile_size = RESOLUTION_TILE_SIZE.get(resolution, 512)
             slim = 'slim' in q
@@ -329,22 +340,25 @@ def make_handler(model_dir, max_batch=None, batch_workers=4,
             self._json(200, {'task_id': task_id})
 
         def _postprocess(self, fields, q):
-            for req in ('img', 'seg_img'):
-                if req not in fields:
-                    self._json(400, {'error': f"missing file parameter '{req}'"})
-                    return
-            img = Image.open(io.BytesIO(fields['img'])).convert('RGB')
-            if max(img.size) > max_image_dim:
-                self._json(400, {'error':
-                                 f'image {img.size[0]}x{img.size[1]} exceeds '
-                                 f'the {max_image_dim}x{max_image_dim} limit'})
+            try:
+                for req in ('img', 'seg_img'):
+                    if req not in fields:
+                        raise _BadRequest(f"missing file parameter '{req}'")
+                # every image in the body gets the dimension gate, not just
+                # 'img' — an oversized seg_img would otherwise smuggle a
+                # 256 MPx quantification past the request limit
+                img = self._open_checked(fields['img'], 'img').convert('RGB')
+                seg = self._open_checked(fields['seg_img'],
+                                         'seg_img').convert('RGB')
+                marker = None
+                if 'marker_img' in fields:
+                    # max-over-RGB, the reference grayscale convention
+                    marker = pp.to_array(
+                        self._open_checked(fields['marker_img'],
+                                           'marker_img'), True)
+            except _BadRequest as e:
+                self._json(400, {'error': str(e)})
                 return
-            seg = Image.open(io.BytesIO(fields['seg_img'])).convert('RGB')
-            marker = None
-            if 'marker_img' in fields:
-                # max-over-RGB, the reference grayscale convention
-                marker = pp.to_array(
-                    Image.open(io.BytesIO(fields['marker_img'])), True)
             resolution = q.get('resolution', ['40x'])[0]
             prob_thresh, size_thresh, size_up, marker_thresh = _parse_thresholds(q)
 

@@ -118,6 +118,10 @@ class DispatchSession:
         closing = False
         while True:
             if not pending:
+                if closing:
+                    # the close sentinel was consumed inside the drain loop
+                    # below; all work accepted before it has been served
+                    break
                 item = self._q.get()
                 if item is None:
                     break

@@ -30,6 +30,24 @@ from .utils import checkpoints
 from .utils.visualizer import Visualizer
 
 
+def _family_module(model):
+    """Resolve the model-family module once, so def/state/step dispatch
+    shares one branch point (every family module exposes ``def_from_opt``
+    and ``create_train_state``; the reference resolves families the same
+    way via find_model_using_name, models/__init__.py:53-114)."""
+    if model == 'CycleGAN':
+        from .models import cyclegan as m
+    elif model == 'DeepLIIFExt':
+        from .models import deepliif_ext as m
+    elif model == 'SDG':
+        from .models import sdg as m
+    elif model == 'DeepLIIFKD':
+        from .models import deepliif_kd as m
+    else:
+        m = dl
+    return m
+
+
 def check_weights(model, modalities_no, seg_weights, loss_g_weights,
                   loss_d_weights):
     """(reference util/checks.py:3-17)"""
@@ -147,21 +165,13 @@ def train_model(opt):
     resume, epoch_base, debug caps, display and LR policies are the same
     code path for all five."""
     model = getattr(opt, 'model', 'DeepLIIF')
-    if model == 'CycleGAN':
-        from .models import cyclegan as cg
-        d = cg.def_from_opt(opt)
-    elif model == 'DeepLIIFExt':
-        from . import models as _m
-        from .models import deepliif_ext as ext
-        d = ext.def_from_opt(opt)
+    fam = _family_module(model)
+    d = fam.def_from_opt(opt)
+    if model == 'DeepLIIFExt':
         check_weights('DeepLIIFExt', d.modalities_no, [1 / d.modalities_no] *
                       d.modalities_no, list(d.loss_g_weights),
                       list(d.loss_d_weights))
-    elif model == 'SDG':
-        from .models import sdg as sdg_m
-        d = sdg_m.def_from_opt(opt)
-    else:
-        d = dl.def_from_opt(opt)
+    elif model not in ('CycleGAN', 'SDG'):
         check_weights(opt.model, d.modalities_no, list(d.seg_weights),
                       list(d.loss_g_weights), list(d.loss_d_weights))
 
@@ -176,22 +186,9 @@ def train_model(opt):
 
     key = jax.random.PRNGKey(getattr(opt, 'seed', None) or 0)
     vgg_params = vgg.init()
-    teacher = None
-    if model == 'DeepLIIFExt':
-        from .models import deepliif_ext as ext
-        state, g_tx, d_tx = ext.create_train_state(key, d, opt, steps_per_epoch)
-    elif model == 'SDG':
-        from .models import sdg as sdg_m
-        state, g_tx, d_tx = sdg_m.create_train_state(key, d, opt, steps_per_epoch)
-    elif model == 'DeepLIIFKD':
-        from .models import deepliif_kd as kd
-        teacher = kd.load_teacher(opt.model_dir_teacher)
-        state, g_tx, d_tx = kd.create_train_state(key, d, opt, steps_per_epoch)
-    elif model == 'CycleGAN':
-        from .models import cyclegan as cg
-        state, g_tx, d_tx = cg.create_train_state(key, d, opt, steps_per_epoch)
-    else:
-        state, g_tx, d_tx = dl.create_train_state(key, d, opt, steps_per_epoch)
+    teacher = (fam.load_teacher(opt.model_dir_teacher)
+               if model == 'DeepLIIFKD' else None)
+    state, g_tx, d_tx = fam.create_train_state(key, d, opt, steps_per_epoch)
 
     if getattr(opt, 'verbose', False):
         # reference --verbose prints per-net architectures; parameter counts
@@ -229,15 +226,12 @@ def train_model(opt):
 
     # build the un-jitted step body per model family
     if model == 'DeepLIIFExt':
-        from .models import deepliif_ext as ext
-        step_body = ext.make_train_step_body(d, g_tx, d_tx)
+        step_body = fam.make_train_step_body(d, g_tx, d_tx)
     elif model == 'SDG':
-        from .models import sdg as sdg_m
-        step_body = sdg_m.make_train_step_body(d, g_tx, d_tx, vgg_params)
+        step_body = fam.make_train_step_body(d, g_tx, d_tx, vgg_params)
     elif model == 'DeepLIIFKD':
-        from .models import deepliif_kd as kd
-        step_body = kd.make_train_step_body(d, g_tx, d_tx, vgg_params,
-                                            teacher[0], teacher[1])
+        step_body = fam.make_train_step_body(d, g_tx, d_tx, vgg_params,
+                                             teacher[0], teacher[1])
     elif model == 'CycleGAN':
         # CycleGAN's step is two jitted programs with the image-pool query
         # (host-side ring-buffer state, reference CycleGAN_model.py:108-109)
@@ -245,7 +239,7 @@ def train_model(opt):
         # the pooled fakes. The driver presents the same
         # (state, batch, rng) -> (state, metrics, g_out) signature as the
         # other families so the surrounding loop is shared.
-        from .models import cyclegan as cg
+        cg = fam
         g_step, d_step = cg.make_train_steps(d, g_tx, d_tx, vgg_params)
         pool_size = getattr(opt, 'pool_size', 50)
         seed0 = getattr(opt, 'seed', None) or 0

@@ -126,6 +126,12 @@ def _decode_jpegxr(data):
       2. a user hook ``DEEPLIIF_JXR_DECODER=module:function`` where
          ``function(bytes) -> ndarray`` (e.g. a jxrlib ctypes wrapper).
 
+    Decoder contract: uint8 pixels in DISPLAY order — (h, w) or
+    (h, w, 1) grayscale, (h, w, 2) gray+alpha, or (h, w, >=3) with the
+    first three channels R, G, B (what imagecodecs.jpegxr_decode returns
+    for Bgr24-class streams). Non-uint8 output (16-bit fluorescence
+    subblocks) is refused by the caller rather than truncated.
+
     Otherwise raises with conversion guidance. The reference defers this
     codec to Bio-Formats' bundled JXR Java decoder
     (/root/reference/deepliif/util/__init__.py:559-691); everything the
@@ -231,13 +237,23 @@ class CziReader:
             return full
         if comp == 4:  # JPEG-XR (ITU-T T.832)
             out = _decode_jpegxr(data)
+            if out.dtype != np.uint8:
+                # e.g. Gray16 fluorescence subblocks: truncating mod 256
+                # would be silent garbage; match the uncompressed path's
+                # explicit unsupported-pixel-type refusal
+                raise ValueError(
+                    f'JPEG-XR subblock decoded to {out.dtype} pixels; only '
+                    '8-bit (Gray8/Bgr24-class) subblocks are supported '
+                    '(convert 16-bit slides to 8-bit TIFF first)')
+            if out.ndim == 3 and out.shape[2] == 2:  # gray + alpha
+                out = out[:, :, 0]
             if out.ndim == 2:
                 out = np.repeat(out[:, :, None], 3, axis=2)
-            if out.shape[2] > 3:
+            elif out.shape[2] > 3:
                 out = out[:, :, :3]
             full = np.zeros((sh, sw, 3), np.uint8)
             full[:min(sh, out.shape[0]), :min(sw, out.shape[1])] = \
-                out[:sh, :sw].astype(np.uint8)
+                out[:sh, :sw]
             return full
         if comp in (5, 6):  # zstd0 / zstd1
             n_bytes = sh * sw * (3 if block.pixel_type == PIXEL_BGR24 else 1)

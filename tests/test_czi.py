@@ -185,6 +185,22 @@ def test_jpegxr_decoder_hook(tmp_path, monkeypatch):
     assert (out == 7).all()
     r.close()
 
+    # 16-bit decoder output (Gray16 fluorescence subblocks) must be
+    # REFUSED, not truncated mod 256 into silent garbage
+    ic.jpegxr_decode = lambda data: np.full((32, 32), 300, np.uint16)
+    r = CziReader(p)
+    with pytest.raises(ValueError, match='uint16'):
+        r._block_pixels(r.blocks[0])
+    r.close()
+
+    # gray+alpha decodes take the gray plane
+    ic.jpegxr_decode = lambda data: np.dstack(
+        [np.full((32, 32), 9, np.uint8), np.full((32, 32), 255, np.uint8)])
+    r = CziReader(p)
+    out = r._block_pixels(r.blocks[0])
+    assert out.shape == (32, 32, 3) and (out == 9).all()
+    r.close()
+
 
 def test_magnification_and_wsi_dispatch(tmp_path):
     """WSIReader routes .czi to CziReader; magnification parses from the

@@ -157,6 +157,13 @@ def test_device_quant_auto_crossover(model_dir, monkeypatch):
     assert M._device_quant_fits(8192, 8192, n_devices=1)       # 67 MPx ok
     assert not M._device_quant_fits(12800, 12800, n_devices=1)  # 164 MPx no
     assert M._device_quant_fits(12800, 12800, n_devices=8)  # mesh shards it
+    # inferred device count must respect the mesh gate: with mesh-sharded
+    # labeling disabled, a 164 MPx canvas binds at the 80 MPx/device cap
+    # even on an 8-device host (review finding round 4)
+    monkeypatch.setenv('DEEPLIIF_QUANT_MESH', '0')
+    assert not M._device_quant_fits(12800, 12800)
+    monkeypatch.setenv('DEEPLIIF_QUANT_MESH', 'auto')
+    assert M._device_quant_fits(12800, 12800)  # 8 CPU test devices shard it
 
     # e2e through infer_modalities with auto (host fallback on this canvas)
     from deepliif_tpu.models import infer_modalities

@@ -5,6 +5,7 @@ import base64
 import io
 import json
 import threading
+import time
 import urllib.request
 from http.server import ThreadingHTTPServer
 
@@ -242,6 +243,41 @@ def test_dispatch_session_respects_max_batch():
     ds.close()
 
 
+def test_dispatch_session_close_during_traffic_terminates_thread():
+    """close() racing live traffic: the dispatcher must serve everything it
+    accepted, then EXIT — the sentinel can be consumed inside the drain
+    loop, which used to leave the thread blocked on q.get() forever
+    (round-4 review finding)."""
+    from deepliif_tpu.serve.dispatch import DispatchSession
+    fake = _FakeSession(delay=0.05)
+    ds = DispatchSession(fake)
+    rng = np.random.default_rng(2)
+    inputs = [rng.integers(0, 255, (2, 8, 8, 3), np.uint8) for _ in range(4)]
+    results = [None] * 4
+    errors = [None] * 4
+
+    def client(i):
+        try:
+            results[i] = ds.run_tiles(inputs[i])
+        except Exception as e:  # noqa: BLE001 — close() may reject late ones
+            errors[i] = e
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    time.sleep(0.02)          # let work land in the queue mid-device-call
+    ds.close()
+    for t in threads:
+        t.join(timeout=30)
+    ds._thread.join(timeout=10)
+    assert not ds._thread.is_alive(), \
+        'dispatcher thread leaked after close() during traffic'
+    for i in range(4):
+        assert (results[i] is not None) or (errors[i] is not None), i
+        if results[i] is not None:
+            np.testing.assert_array_equal(results[i]['G1'], inputs[i])
+
+
 def test_concurrent_http_infer(server):
     """N concurrent /api/infer clients all succeed with identical-per-input
     results, and the server reports dispatcher activity on /healthz."""
@@ -331,6 +367,18 @@ def test_oversized_image_is_400(model_dir):
                              {'img': _png_bytes(img),
                               'seg_img': _png_bytes(img)})
         assert status == 400
+        # ... on EVERY image in the body: a small 'img' must not smuggle an
+        # oversized seg_img/marker_img past the gate (round-4 review)
+        small = np.zeros((64, 64, 3), np.uint8)
+        status, data = _post(base + '/api/postprocess',
+                             {'img': _png_bytes(small),
+                              'seg_img': _png_bytes(img)})
+        assert status == 400 and 'seg_img' in data['error']
+        status, data = _post(base + '/api/postprocess',
+                             {'img': _png_bytes(small),
+                              'seg_img': _png_bytes(small),
+                              'marker_img': _png_bytes(img)})
+        assert status == 400 and 'marker_img' in data['error']
     finally:
         srv.shutdown()
 
