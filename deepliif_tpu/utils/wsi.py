@@ -51,6 +51,12 @@ class WSIReader:
             self._tiled = DicomWsiReader(path)
             self.size = self._tiled.size
             return
+        from .ngff import is_ome_zarr
+        if is_ome_zarr(path):
+            from .ngff import OmeZarrReader
+            self._tiled = OmeZarrReader(path)
+            self.size = self._tiled.size
+            return
         if path.lower().endswith(('.tif', '.tiff', '.svs', '.ndpi',
                                   '.scn', '.bif')):
             try:
