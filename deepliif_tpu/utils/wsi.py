@@ -51,6 +51,11 @@ class WSIReader:
             self._tiled = DicomWsiReader(path)
             self.size = self._tiled.size
             return
+        if path.lower().endswith('.vms'):
+            from .vms import VmsReader
+            self._tiled = VmsReader(path)
+            self.size = self._tiled.size
+            return
         from .ngff import is_ome_zarr
         if is_ome_zarr(path):
             from .ngff import OmeZarrReader
