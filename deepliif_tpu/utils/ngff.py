@@ -63,7 +63,11 @@ def _blosc_decompress(data, expect_nbytes):
     nbytes, blocksize, cbytes = struct.unpack_from('<III', data, 4)
     if nbytes != expect_nbytes:
         raise ValueError(f'blosc nbytes {nbytes} != chunk {expect_nbytes}')
+    if flags & _BLOSC_BIT_SHUFFLE:
+        raise ValueError('blosc bit-shuffle not supported')
     if flags & _BLOSC_MEMCPYED:
+        # memcpyed frames store the ORIGINAL buffer; shuffle flags are
+        # ignored by c-blosc's decompressor in this mode
         out = bytes(data[16:16 + nbytes])
     else:
         codec = _BLOSC_CODECS.get((flags >> 5) & 0x7, '?')
@@ -79,6 +83,7 @@ def _blosc_decompress(data, expect_nbytes):
         bstarts = struct.unpack_from(f'<{nblocks}i', data, 16)
         # split-mode frames (blosclz/lz4 byte-shuffle) never reach here:
         # zlib/zstd blosc blocks are single-stream
+        unshuffle = flags & _BLOSC_BYTE_SHUFFLE and typesize > 1
         out = bytearray(nbytes)
         pos = 0
         for j in range(nblocks):
@@ -86,17 +91,17 @@ def _blosc_decompress(data, expect_nbytes):
             off = bstarts[j]
             (csize,) = struct.unpack_from('<i', data, off)
             payload = data[off + 4:off + 4 + csize]
-            if csize == neblock:
-                out[pos:pos + neblock] = payload
-            else:
-                out[pos:pos + neblock] = dec(payload, neblock)
+            block = bytes(payload) if csize == neblock \
+                else dec(payload, neblock)
+            if unshuffle:
+                # the shuffle filter operates per block; a non-divisible
+                # tail stays in source order
+                cut = (neblock // typesize) * typesize
+                arr = np.frombuffer(block[:cut], np.uint8)
+                block = arr.reshape(typesize, -1).T.tobytes() + block[cut:]
+            out[pos:pos + neblock] = block
             pos += neblock
         out = bytes(out)
-    if flags & _BLOSC_BIT_SHUFFLE:
-        raise ValueError('blosc bit-shuffle not supported')
-    if flags & _BLOSC_BYTE_SHUFFLE and typesize > 1:
-        arr = np.frombuffer(out, np.uint8).reshape(typesize, -1)
-        out = arr.T.tobytes()
     return out
 
 

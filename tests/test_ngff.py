@@ -215,19 +215,26 @@ def test_blosc_chunks(tmp_path):
 
 
 def test_blosc_byte_shuffle_uint16(tmp_path):
-    """byte-shuffled memcpy frame: the unshuffle restores uint16 order."""
+    """zlib-coded frame with the byte-shuffle flag: each block is
+    unshuffled independently (c-blosc shuffles per block, and memcpyed
+    frames are stored unshuffled)."""
     rng = np.random.default_rng(9)
     plane = rng.integers(0, 65535, (16, 16), np.uint16)
     adir = tmp_path / 'shuf.zarr'
     _write_array(str(adir), plane, (16, 16))
     meta = json.load(open(adir / '.zarray'))
-    meta['compressor'] = {'id': 'blosc', 'cname': 'memcpy', 'shuffle': 1}
+    meta['compressor'] = {'id': 'blosc', 'cname': 'zlib', 'shuffle': 1}
     (adir / '.zarray').write_text(json.dumps(meta))
     raw = plane.tobytes()
-    shuffled = np.frombuffer(raw, np.uint8).reshape(-1, 2).T.tobytes()
-    head = struct.pack('<BBBBIII', 2, 1, 0x2 | 0x1, 2, len(raw), len(raw),
-                       16 + len(raw))
-    (adir / '0.0').write_bytes(head + shuffled)
+    blocksize = 128  # -> 4 blocks, shuffled independently
+    shuffled = b''.join(
+        np.frombuffer(raw[o:o + blocksize], np.uint8)
+        .reshape(-1, 2).T.tobytes()
+        for o in range(0, len(raw), blocksize))
+    frame = _blosc_frame(shuffled, 'zlib', len(raw), blocksize=blocksize,
+                         flags_extra=0x1)
+    frame = frame[:3] + bytes([2]) + frame[4:]  # typesize = 2
+    (adir / '0.0').write_bytes(frame)
     r = OmeZarrReader(str(adir))
     np.testing.assert_array_equal(
         r.read_region(0, 0, 16, 16)[..., 0], (plane >> 8).astype(np.uint8))
