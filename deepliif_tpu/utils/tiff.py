@@ -49,6 +49,7 @@ TILE_LENGTH = 323
 TILE_OFFSETS = 324
 TILE_BYTE_COUNTS = 325
 JPEG_TABLES = 347
+SOFTWARE = 305
 NEW_SUBFILE_TYPE = 254
 SAMPLE_FORMAT = 339
 NDPI_FORMAT_FLAG = 65420   # Hamamatsu .ndpi marker tag
@@ -208,7 +209,8 @@ def make_ome_xml(size_x, size_y, channel_names=None, size_c=3,
 
 def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
                        compression=True, channel_names=None,
-                       description=None, jpeg_quality=85, macro=None):
+                       description=None, jpeg_quality=85, macro=None,
+                       software=None):
     """Write an HxWx3 uint8 canvas as a pyramidal tiled BigTIFF.
 
     compression: True/'deflate' | 'jpeg' (per-tile standalone JPEG streams,
@@ -293,6 +295,12 @@ def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
                 desc_off = fh.tell()
                 desc_len = len(desc)
                 fh.write(desc)
+            soft_off = soft_len = 0
+            if page_idx == main_idx and software:
+                soft = software.encode() + b'\x00'
+                soft_off = fh.tell()
+                soft_len = len(soft)
+                fh.write(soft)
 
             entries = []
 
@@ -303,6 +311,8 @@ def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
                 entry(NEW_SUBFILE_TYPE, TYPE_LONG, 1, 1)
             if desc_len:
                 entry(IMAGE_DESCRIPTION, 2, desc_len, desc_off)  # type ASCII
+            if soft_len:
+                entry(SOFTWARE, 2, soft_len, soft_off)           # type ASCII
             entry(IMAGE_WIDTH, TYPE_LONG, 1, w)
             entry(IMAGE_LENGTH, TYPE_LONG, 1, h)
             entry(BITS_PER_SAMPLE, TYPE_SHORT, 3,
@@ -474,6 +484,53 @@ class TiledTiffReader:
         areas = [p['width'] * p['height'] for p in self.pages]
         self._base = max(range(len(self.pages)),
                          key=lambda i: (areas[i], -i))
+        self._apply_trestle_overlaps()
+
+    def _apply_trestle_overlaps(self):
+        """Trestle (MedScan) TIFFs tile each pyramid level with
+        overlapping tiles; the ImageDescription carries one ``x y``
+        overlap pair per level after ``OverlapsXY=`` plus an optional
+        hex ``Background Color=``. Effective level width shrinks by
+        (tiles_across - 1) * overlap_x (openslide's published Trestle
+        notes; the reference reads these through Bio-Formats,
+        util/__init__.py:559-617). Pairs index pyramid levels from the
+        full-resolution page on."""
+        base = self.pages[self._base]
+        desc = base.get('description') or ''
+        if not str(base.get('software') or '').startswith('MedScan') \
+                or 'OverlapsXY=' not in desc:
+            return
+        tail = desc.split('OverlapsXY=', 1)[1]
+        nums = []
+        for tok in tail.replace(';', ' ').split():
+            if tok.lstrip('-').isdigit():
+                nums.append(int(tok))
+            else:
+                break
+        pairs = [(nums[i], nums[i + 1]) for i in range(0, len(nums) - 1, 2)]
+        for lvl, pair in enumerate(pairs):
+            if self._base + lvl < len(self.pages):
+                self.pages[self._base + lvl]['overlap'] = pair
+        if 'Background Color=' in desc:
+            hexv = desc.split('Background Color=', 1)[1].strip()[:6]
+            try:
+                rgb = bytes.fromhex(hexv)
+                for p in self.pages[self._base:]:
+                    p['fill'] = tuple(rgb) if len(rgb) == 3 else 0
+            except ValueError:
+                pass
+
+    @staticmethod
+    def _effective_dims(page):
+        """(width, height) with Trestle tile overlaps subtracted;
+        identical to the raw page dims for every other producer."""
+        w, h = page['width'], page['height']
+        ox, oy = page.get('overlap', (0, 0))
+        if (ox or oy) and page['tile_w']:
+            ty, tx = _tile_grid(h, w, page['tile_w'])
+            w -= (tx - 1) * ox
+            h -= (ty - 1) * oy
+        return w, h
 
     def _read_value_array(self, typ, count, raw):
         if typ in (TYPE_BYTE, TYPE_ASCII, TYPE_UNDEFINED):
@@ -536,6 +593,10 @@ class TiledTiffReader:
             desc = get(IMAGE_DESCRIPTION)
             if isinstance(desc, bytes):
                 desc = desc.rstrip(b'\x00').decode('utf-8', errors='replace')
+            software = get(SOFTWARE)
+            if isinstance(software, bytes):
+                software = software.rstrip(b'\x00').decode(
+                    'utf-8', errors='replace')
             page = {
                 'width': get(IMAGE_WIDTH, (0,))[0],
                 'height': get(IMAGE_LENGTH, (0,))[0],
@@ -553,6 +614,9 @@ class TiledTiffReader:
                 'description': desc,
                 'ndpi': NDPI_FORMAT_FLAG in tags,
                 'source_lens': (get(NDPI_SOURCE_LENS) or (None,))[0],
+                'software': software,
+                'overlap': (0, 0),
+                'fill': 0,
             }
             pages.append(page)
         self._fix_ndpi_offsets(pages)
@@ -609,8 +673,7 @@ class TiledTiffReader:
 
     @property
     def size(self):
-        p = self.pages[self._base]
-        return (p['width'], p['height'])
+        return self._effective_dims(self.pages[self._base])
 
     def read_region(self, x, y, w, h, level=0):
         """Decode only the tiles/strips intersecting (x, y, w, h) on
@@ -629,21 +692,35 @@ class TiledTiffReader:
 
     def _read_region_tiled(self, page, x, y, w, h):
         tw, th = page['tile_w'], page['tile_h']
+        ox, oy = page.get('overlap', (0, 0))
+        ax, ay = tw - ox, th - oy   # tile advance (== size unless Trestle)
         spp = 3 if page['compression'] == 7 else page['spp']
         ty, tx = _tile_grid(page['height'], page['width'], tw)
+        ew, eh = self._effective_dims(page)
         out = np.zeros((h, w, spp), np.uint8)
-        j0, j1 = y // th, min((y + h - 1) // th, ty - 1)
-        i0, i1 = x // tw, min((x + w - 1) // tw, tx - 1)
+        fill = page.get('fill', 0)
+        if fill:
+            out[:] = np.asarray(fill, np.uint8)[:spp]
+        j0, j1 = y // ay, min((y + h - 1) // ay, ty - 1)
+        i0, i1 = x // ax, min((x + w - 1) // ax, tx - 1)
         for j in range(j0, j1 + 1):
             for i in range(i0, i1 + 1):
                 idx = j * tx + i
                 self.fh.seek(page['offsets'][idx])
                 data = self.fh.read(page['counts'][idx])
                 tile = _decode_block(data, page, th, tw)
-                ty0, tx0 = j * th, i * tw
+                ty0, tx0 = j * ay, i * ax
+                # interior tiles expose only their advance-sized top-left
+                # corner (the overlapped strip belongs to the next tile);
+                # the last row/column keeps its full extent up to the
+                # effective canvas edge
+                vw = ax if i < tx - 1 else min(tw, ew - tx0)
+                vh = ay if j < ty - 1 else min(th, eh - ty0)
                 sy0, sx0 = max(y, ty0), max(x, tx0)
-                sy1 = min(y + h, ty0 + th)
-                sx1 = min(x + w, tx0 + tw)
+                sy1 = min(y + h, ty0 + vh)
+                sx1 = min(x + w, tx0 + vw)
+                if sy0 >= sy1 or sx0 >= sx1:
+                    continue
                 out[sy0 - y:sy1 - y, sx0 - x:sx1 - x] = \
                     tile[sy0 - ty0:sy1 - ty0, sx0 - tx0:sx1 - tx0, :spp]
         return out

@@ -56,6 +56,11 @@ class WSIReader:
             self._tiled = VmsReader(path)
             self.size = self._tiled.size
             return
+        if path.lower().endswith('.svslide'):
+            from .sakura import SakuraReader
+            self._tiled = SakuraReader(path)
+            self.size = self._tiled.size
+            return
         from .ngff import is_ome_zarr
         if is_ome_zarr(path):
             from .ngff import OmeZarrReader

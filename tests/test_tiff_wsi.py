@@ -488,3 +488,64 @@ def test_scn_collection_xml_macro_objective_listed_first(tmp_path):
            '<objective>40</objective></objectiveSettings></scanSettings>'
            '</image></collection></scn>')
     assert parse_magnification(xml) == 40.0
+
+
+# -- Trestle (MedScan) overlapped tiles ---------------------------------------
+
+def _make_trestle(tmp_path, true, tile=64, ox=16, oy=16, name='tr'):
+    """Re-tile ``true`` into Trestle's overlapped layout: raw tile (j, i)
+    holds the tile-sized window of the true image starting at the tile
+    ADVANCE grid (advance = tile - overlap), so adjacent raw tiles repeat
+    overlap-wide strips. Written as a plain tiled TIFF with
+    Software=MedScan + OverlapsXY (openslide's published Trestle notes)."""
+    th_, tw_ = true.shape[:2]
+    ax, ay = tile - ox, tile - oy
+    tx = (tw_ - tile) // ax + 1
+    ty = (th_ - tile) // ay + 1
+    assert (tx - 1) * ax + tile == tw_ and (ty - 1) * ay + tile == th_
+    raw = np.zeros((ty * tile, tx * tile, 3), np.uint8)
+    for j in range(ty):
+        for i in range(tx):
+            raw[j * tile:(j + 1) * tile, i * tile:(i + 1) * tile] = \
+                true[j * ay:j * ay + tile, i * ax:i * ax + tile]
+    path = str(tmp_path / f'{name}.tif')
+    write_pyramid_tiff(
+        path, raw, levels=(1,), tile=tile, compression=False,
+        description=f'OverlapsXY={ox} {oy} Background Color=FFFFFF',
+        software='MedScan 1.0')
+    return path
+
+
+def test_trestle_overlaps_subtracted(tmp_path):
+    rng = np.random.default_rng(7)
+    true = rng.integers(0, 255, (112, 160, 3), np.uint8)  # 2x3 tile grid
+    path = _make_trestle(tmp_path, true)
+    r = TiledTiffReader(path)
+    assert r.size == (160, 112)
+    assert r.pages[r._base]['overlap'] == (16, 16)
+    assert r.pages[r._base]['fill'] == (255, 255, 255)
+    np.testing.assert_array_equal(r.read_region(0, 0, 160, 112), true)
+    # window straddling overlapped tile seams
+    np.testing.assert_array_equal(r.read_region(40, 40, 70, 60),
+                                  true[40:100, 40:110])
+    r.close()
+    # and through the WSI dispatch
+    w = WSIReader(path)
+    assert w.size == (160, 112)
+    np.testing.assert_array_equal(w.read_region(30, 10, 100, 90),
+                                  true[10:100, 30:130])
+    w.close()
+
+
+def test_non_trestle_software_ignores_overlap_keys(tmp_path):
+    """OverlapsXY in a description without the MedScan Software tag (e.g.
+    an unrelated producer echoing metadata) must not shrink geometry."""
+    rng = np.random.default_rng(8)
+    canvas = rng.integers(0, 255, (128, 128, 3), np.uint8)
+    path = str(tmp_path / 'plain.tif')
+    write_pyramid_tiff(path, canvas, levels=(1,), tile=64,
+                       compression=False, description='OverlapsXY=16 16')
+    r = TiledTiffReader(path)
+    assert r.size == (128, 128)
+    np.testing.assert_array_equal(r.read_region(0, 0, 128, 128), canvas)
+    r.close()
