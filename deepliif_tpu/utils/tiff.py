@@ -435,6 +435,10 @@ def parse_magnification(description):
         return None
     for pat in (r'AppMag\s*=\s*([0-9.]+)',
                 r'NominalMagnification\s*=\s*"?([0-9.]+)',
+                # Philips TIFF exports: DICOM attribute element in the
+                # ImageDescription XML, e.g. <Attribute
+                # Name="DICOM_OBJECTIVE_LENS_POWER" ...>"40"</Attribute>
+                r'DICOM_OBJECTIVE_LENS_POWER[^>]*>\s*(?:&quot;|")?([0-9.]+)',
                 r'Magnification\s*[=:]\s*"?([0-9.]+)',
                 r'\|Mag\s*=\s*([0-9.]+)'):
         m = re.search(pat, description)

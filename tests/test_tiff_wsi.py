@@ -549,3 +549,15 @@ def test_non_trestle_software_ignores_overlap_keys(tmp_path):
     assert r.size == (128, 128)
     np.testing.assert_array_equal(r.read_region(0, 0, 128, 128), canvas)
     r.close()
+
+
+def test_philips_tiff_objective_lens_power():
+    """Philips TIFF exports put the objective power in a DICOM attribute
+    element inside the ImageDescription XML."""
+    from deepliif_tpu.utils.tiff import parse_magnification
+    xml = ('<DataObject ObjectType="DPUfsImport">'
+           '<Attribute Name="DICOM_OBJECTIVE_LENS_POWER" Group="0x0048" '
+           'Element="0x0112" PMSVR="IDoubleArray">&quot;40&quot;'
+           '</Attribute></DataObject>')
+    assert parse_magnification(xml) == 40.0
+    assert parse_magnification(xml.replace('&quot;', '"')) == 40.0
