@@ -56,6 +56,11 @@ class WSIReader:
             self._tiled = VmsReader(path)
             self.size = self._tiled.size
             return
+        if path.lower().endswith('.vmu'):
+            from .vms import VmuReader
+            self._tiled = VmuReader(path)
+            self.size = self._tiled.size
+            return
         if path.lower().endswith('.svslide'):
             from .sakura import SakuraReader
             self._tiled = SakuraReader(path)
