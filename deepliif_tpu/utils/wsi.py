@@ -61,6 +61,11 @@ class WSIReader:
             self._tiled = VmuReader(path)
             self.size = self._tiled.size
             return
+        if path.lower().endswith(('.vsi', '.ets')):
+            from .vsi import VsiReader
+            self._tiled = VsiReader(path)
+            self.size = self._tiled.size
+            return
         if path.lower().endswith('.svslide'):
             from .sakura import SakuraReader
             self._tiled = SakuraReader(path)
