@@ -707,6 +707,42 @@ def serve(model_dir, host, port, max_batch, precision, int8_scope,
 
 
 @cli.command()
+@click.option('--fixed', required=True,
+              help='reference image the moving image is aligned to (IHC)')
+@click.option('--moving', required=True,
+              help='image to align (mpIF); resampled onto the fixed frame')
+@click.option('--output', required=True, help='path for the aligned image')
+@click.option('--translate', default=None,
+              help='manual dx,dy (skips auto estimation)')
+@click.option('--scale', default=1.0, type=float, help='manual scale factor')
+@click.option('--rotate', default=0.0, type=float,
+              help='manual rotation, degrees')
+def register(fixed, moving, output, translate, scale, rotate):
+    """Co-register an IHC/mpIF image pair: the headless equivalent of the
+    reference's Tk registration app (reference
+    Registration/Registration_App.py:22-281). With no manual transform,
+    the translation is estimated automatically by FFT phase correlation;
+    manual --translate/--scale/--rotate reproduce the app's controls.
+    Prints the applied transform as JSON."""
+    from PIL import Image
+    from deepliif_tpu.utils.registration import apply_affine, register_pair
+    fixed_img = Image.open(fixed).convert('RGB')
+    moving_img = Image.open(moving).convert('RGB')
+    if translate is None and scale == 1.0 and rotate == 0.0:
+        aligned, info = register_pair(fixed_img, moving_img)
+    else:
+        dx, dy = (0, 0)
+        if translate is not None:
+            dx, dy = (int(v) for v in translate.split(','))
+        aligned = apply_affine(moving_img, translate=(dx, dy), scale=scale,
+                               rotate_deg=rotate, output_size=fixed_img.size)
+        info = {'dx': dx, 'dy': dy, 'scale': scale, 'rotate_deg': rotate}
+    ensure_exists(os.path.dirname(os.path.abspath(output)))
+    aligned.save(output)
+    print(json.dumps(info))
+
+
+@cli.command()
 @click.option('--pickle-dir', required=True,
               help='directory where the pickled snapshots are stored')
 @click.option('--display-env', default=None, help='ignored (no visdom)')

@@ -7,7 +7,8 @@ import pytest
 
 COMMANDS = ['train', 'trainlaunch', 'serialize', 'test', 'test-wsi',
             'wsi-cells', 'eval', 'serve', 'compute-statistics',
-            'prepare-training-data', 'prepare-testing-data', 'visualize']
+            'prepare-training-data', 'prepare-testing-data', 'visualize',
+            'register']
 
 
 @pytest.mark.parametrize('cmd', COMMANDS)

@@ -236,3 +236,43 @@ def test_multichannel_ome_roundtrip_and_dataset_builder(tmp_path):
     from PIL import Image as _I
     ihc = np.asarray(_I.open(out / [f for f in files if 'IHC' in f][0]))
     assert ihc.shape == (48, 48, 3)
+
+
+def test_register_cli_auto_and_manual(tmp_path):
+    """`deepliif-tpu register` — headless equivalent of the reference's
+    Tk registration app (Registration/Registration_App.py:22-281): auto
+    FFT phase-correlation recovers a known shift; manual controls apply
+    an explicit transform."""
+    import json
+    import subprocess
+    import sys
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 255, (96, 96, 3), np.uint8)
+    shifted = np.roll(base, (7, -5), axis=(0, 1))
+    Image.fromarray(base).save(tmp_path / 'fixed.png')
+    Image.fromarray(shifted).save(tmp_path / 'moving.png')
+    env = {'JAX_PLATFORMS': 'cpu', 'PATH': '/usr/bin:/bin:/opt/venv/bin'}
+    out = tmp_path / 'aligned.png'
+    res = subprocess.run(
+        [sys.executable, '-m', 'deepliif_tpu.cli', 'register',
+         '--fixed', str(tmp_path / 'fixed.png'),
+         '--moving', str(tmp_path / 'moving.png'), '--output', str(out)],
+        capture_output=True, text=True, cwd='/root/repo', timeout=180,
+        env=env)
+    assert res.returncode == 0, res.stderr[-500:]
+    info = json.loads(res.stdout.strip().splitlines()[-1])
+    assert (info['dx'], info['dy']) == (5, -7)
+    aligned = np.asarray(Image.open(out))
+    h, w = base.shape[:2]
+    np.testing.assert_array_equal(aligned[10:h - 10, 10:w - 10],
+                                  base[10:h - 10, 10:w - 10])
+    res2 = subprocess.run(
+        [sys.executable, '-m', 'deepliif_tpu.cli', 'register',
+         '--fixed', str(tmp_path / 'fixed.png'),
+         '--moving', str(tmp_path / 'moving.png'),
+         '--output', str(out), '--translate', '5,-7'],
+        capture_output=True, text=True, cwd='/root/repo', timeout=180,
+        env=env)
+    assert res2.returncode == 0, res2.stderr[-500:]
+    info2 = json.loads(res2.stdout.strip().splitlines()[-1])
+    assert info2['scale'] == 1.0 and (info2['dx'], info2['dy']) == (5, -7)
