@@ -65,9 +65,16 @@ def is_svslide(path):
         return False
 
 
+def _q(name):
+    """Quote an SQL identifier read from the (untrusted) slide file:
+    double embedded quotes so a hostile table/column name cannot break
+    out of the quoted context."""
+    return '"' + str(name).replace('"', '""') + '"'
+
+
 def _columns(con, table):
     try:
-        return [r[1] for r in con.execute(f'PRAGMA table_info("{table}")')]
+        return [r[1] for r in con.execute(f'PRAGMA table_info({_q(table)})')]
     except sqlite3.Error:
         return []
 
@@ -81,8 +88,8 @@ def _probe_scalar(con, table, needles):
             if needle in c.lower():
                 try:
                     row = con.execute(
-                        f'SELECT "{c}" FROM "{table}" '
-                        f'WHERE "{c}" IS NOT NULL LIMIT 1').fetchone()
+                        f'SELECT {_q(c)} FROM {_q(table)} '
+                        f'WHERE {_q(c)} IS NOT NULL LIMIT 1').fetchone()
                 except sqlite3.Error:
                     continue
                 if row and row[0] is not None:
@@ -118,7 +125,7 @@ class SakuraReader:
         # finest downsample present (level 0)
         ds_index = {}
         for (tid,) in self._con.execute(
-                f'SELECT id FROM "{self._data_table}"'):
+                f'SELECT id FROM {_q(self._data_table)}'):
             m = _TILEID.match(tid if isinstance(tid, str) else str(tid))
             if not m:
                 continue
@@ -160,24 +167,77 @@ class SakuraReader:
         raise ValueError(f'{self.path}: no tile data table '
                          '(DataManagerSQLiteHandler.UniqueTableName)')
 
-    def _image_size(self):
+    def _scan_size_rows(self):
+        """Candidate (w, h) rows from SVScannedImageDataXPO — preferring
+        the rows the HR scan references (openslide joins
+        SVHRScanDataXPO.m_scannedImage -> SVScannedImageDataXPO.OID to
+        skip overview/label images), falling back to all rows."""
         con = self._con
-        w = _probe_scalar(con, 'SVScannedImageDataXPO', ('imagewidth',))
-        h = _probe_scalar(con, 'SVScannedImageDataXPO', ('imageheight',))
-        if w and h and int(w) > 0 and int(h) > 0:
-            return int(w), int(h)
-        # no readable size row: the id grid bounds the canvas
+        tbl = 'SVScannedImageDataXPO'
+        cols = _columns(con, tbl)
+        wcol = next((c for c in cols if 'imagewidth' in c.lower()), None)
+        hcol = next((c for c in cols if 'imageheight' in c.lower()), None)
+        if not (wcol and hcol):
+            return []
+        rows = []
+        hr_cols = _columns(con, 'SVHRScanDataXPO')
+        ref = next((c for c in hr_cols if 'scannedimage' in c.lower()), None)
+        oid = next((c for c in cols if c.lower() == 'oid'), None)
+        if ref and oid:
+            try:
+                rows = con.execute(
+                    f'SELECT s.{_q(wcol)}, s.{_q(hcol)} FROM {_q(tbl)} s '
+                    f'JOIN "SVHRScanDataXPO" h ON s.{_q(oid)} = h.{_q(ref)} '
+                    f'WHERE s.{_q(wcol)} IS NOT NULL '
+                    f'AND s.{_q(hcol)} IS NOT NULL').fetchall()
+            except sqlite3.Error:
+                rows = []
+        if not rows:
+            try:
+                rows = con.execute(
+                    f'SELECT {_q(wcol)}, {_q(hcol)} FROM {_q(tbl)} '
+                    f'WHERE {_q(wcol)} IS NOT NULL '
+                    f'AND {_q(hcol)} IS NOT NULL').fetchall()
+            except sqlite3.Error:
+                return []
+        out = []
+        for w, h in rows:
+            try:
+                w, h = int(w), int(h)
+            except (TypeError, ValueError):
+                continue
+            if w > 0 and h > 0:
+                out.append((w, h))
+        return out
+
+    def _image_size(self):
+        # the id grid bounds the canvas (reader-coordinate units, i.e.
+        # finest-stored-level pixels)
         step_x = self.tile_w * self._ds
         step_y = self.tile_h * self._ds
         xs = [p[0] for p in self.tiles]
         ys = [p[1] for p in self.tiles]
-        return (max(xs) + step_x) // self._ds, (max(ys) + step_y) // self._ds
+        grid_w = (max(xs) + step_x) // self._ds
+        grid_h = (max(ys) + step_y) // self._ds
+        # metadata sizes are level-0 pixels; when several image rows exist
+        # (HR scan + overview/label), take the largest-area HR-referenced
+        # one, convert to reader units, and sanity-check against the tile
+        # grid — a row describing the wrong image falls outside
+        # (grid - tile, grid] and is rejected in favor of the grid bound.
+        best = None
+        for w0, h0 in self._scan_size_rows():
+            w, h = w0 // self._ds, h0 // self._ds
+            if (grid_w - self.tile_w < w <= grid_w
+                    and grid_h - self.tile_h < h <= grid_h):
+                if best is None or w * h > best[0] * best[1]:
+                    best = (w, h)
+        return best if best else (grid_w, grid_h)
 
     # -- pixels --------------------------------------------------------------
 
     def _decode_channel(self, tid):
         row = self._con.execute(
-            f'SELECT data FROM "{self._data_table}" WHERE id=?',
+            f'SELECT data FROM {_q(self._data_table)} WHERE id=?',
             (tid,)).fetchone()
         if row is None or row[0] is None:
             raise ValueError(f'{self.path}: missing tile blob {tid!r}')

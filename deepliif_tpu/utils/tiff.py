@@ -70,8 +70,12 @@ TYPE_LONG8 = 16   # uint64 (BigTIFF)
 TILE = 256
 
 
-def _tile_grid(h, w, tile=TILE):
-    ty = (h + tile - 1) // tile
+def _tile_grid(h, w, tile=TILE, tile_h=None):
+    """Tile counts (rows, cols); ``tile_h`` defaults to the (square)
+    ``tile`` width but must be passed for producers with non-square
+    tiles (Trestle)."""
+    th = tile if tile_h is None else tile_h
+    ty = (h + th - 1) // th
     tx = (w + tile - 1) // tile
     return ty, tx
 
@@ -224,7 +228,9 @@ def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
     largest page as level 0, so such files read correctly).
 
     ``canvas`` may be a np.memmap: pages are sliced tile-by-tile, so the
-    full-resolution image is never materialized in RAM."""
+    full-resolution image is never materialized in RAM.
+
+    ``tile`` may be an int (square) or a (tile_w, tile_h) pair."""
     if not (isinstance(canvas, np.ndarray) and canvas.dtype == np.uint8
             and canvas.ndim == 3):
         canvas = np.ascontiguousarray(canvas, np.uint8)
@@ -265,15 +271,18 @@ def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
         header_next_ifd_pos = 8  # offset of the 'first IFD offset' field
         prev_next_field = header_next_ifd_pos
 
+        tile_w, tile_h = (tile if isinstance(tile, (tuple, list))
+                          else (tile, tile))
         for page_idx, img in enumerate(pages):
             h, w = img.shape[:2]
-            ty, tx = _tile_grid(h, w, tile)
+            ty, tx = _tile_grid(h, w, tile_w, tile_h)
             offsets, counts = [], []
             for j in range(ty):
                 for i in range(tx):
-                    t = img[j * tile:(j + 1) * tile, i * tile:(i + 1) * tile]
-                    if t.shape[0] != tile or t.shape[1] != tile:
-                        pad = np.zeros((tile, tile, 3), np.uint8)
+                    t = img[j * tile_h:(j + 1) * tile_h,
+                            i * tile_w:(i + 1) * tile_w]
+                    if t.shape[0] != tile_h or t.shape[1] != tile_w:
+                        pad = np.zeros((tile_h, tile_w, 3), np.uint8)
                         pad[:t.shape[0], :t.shape[1]] = t
                         t = pad
                     data = encode_tile(t)
@@ -323,8 +332,8 @@ def write_pyramid_tiff(path, canvas, levels=(1, 2, 4, 8), tile=TILE,
             entry(PHOTOMETRIC, TYPE_SHORT, 1, 2)
             entry(SAMPLES_PER_PIXEL, TYPE_SHORT, 1, 3)
             entry(PLANAR_CONFIG, TYPE_SHORT, 1, 1)
-            entry(TILE_WIDTH, TYPE_SHORT, 1, tile)
-            entry(TILE_LENGTH, TYPE_SHORT, 1, tile)
+            entry(TILE_WIDTH, TYPE_SHORT, 1, tile_w)
+            entry(TILE_LENGTH, TYPE_SHORT, 1, tile_h)
             entry(TILE_OFFSETS, TYPE_LONG8, len(offsets),
                   _inline_or_pointer(TYPE_LONG8, offsets, off_arr_off))
             entry(TILE_BYTE_COUNTS, TYPE_LONG8, len(counts),
@@ -531,7 +540,8 @@ class TiledTiffReader:
         w, h = page['width'], page['height']
         ox, oy = page.get('overlap', (0, 0))
         if (ox or oy) and page['tile_w']:
-            ty, tx = _tile_grid(h, w, page['tile_w'])
+            ty, tx = _tile_grid(h, w, page['tile_w'],
+                                page['tile_h'] or page['tile_w'])
             w -= (tx - 1) * ox
             h -= (ty - 1) * oy
         return w, h
@@ -699,7 +709,7 @@ class TiledTiffReader:
         ox, oy = page.get('overlap', (0, 0))
         ax, ay = tw - ox, th - oy   # tile advance (== size unless Trestle)
         spp = 3 if page['compression'] == 7 else page['spp']
-        ty, tx = _tile_grid(page['height'], page['width'], tw)
+        ty, tx = _tile_grid(page['height'], page['width'], tw, th)
         ew, eh = self._effective_dims(page)
         out = np.zeros((h, w, spp), np.uint8)
         fill = page.get('fill', 0)

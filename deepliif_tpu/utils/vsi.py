@@ -123,15 +123,35 @@ class EtsFile:
                     off, length)
             if not planes:
                 raise ValueError(f'{path}: no used chunks')
-        self._tiles = max(planes.values(),
-                          key=lambda p: (max(x for x, _ in p) + 1)
-                          * (max(y for _, y in p) + 1))
+        # Fluorescence / multi-channel stores hold SEVERAL planes with the
+        # SAME level-0 extent (one grayscale plane per channel, identical
+        # grids). Merge up to 3 of them as RGB channels instead of
+        # silently reading one arbitrary channel; more than 4 equal
+        # planes (e.g. a Z stack) cannot be told apart without the .vsi
+        # proprietary metadata, so warn and read the first deterministic
+        # plane.
+        def _extent(p):
+            return (max(x for x, _ in p) + 1) * (max(y for _, y in p) + 1)
+
+        best = max(_extent(p) for p in planes.values())
+        eq = sorted(k for k, p in planes.items() if _extent(p) == best)
+        if 1 < len(eq) <= 4 and self.spp == 1:
+            self._planes = [planes[k] for k in eq[:3]]
+        else:
+            if len(eq) > 1:
+                import warnings
+                warnings.warn(
+                    f'{path}: {len(eq)} ETS planes share the level-0 '
+                    'extent; reading the first (channel/Z identity needs '
+                    'the .vsi proprietary metadata)', stacklevel=2)
+            self._planes = [planes[eq[0]]]
+        self._tiles = self._planes[0]
         self.grid_w = max(x for x, _ in self._tiles) + 1
         self.grid_h = max(y for _, y in self._tiles) + 1
         self.size = (self.grid_w * self.tile_w, self.grid_h * self.tile_h)
 
-    def _tile(self, tx, ty):
-        loc = self._tiles.get((tx, ty))
+    def _plane_tile(self, plane, tx, ty):
+        loc = plane.get((tx, ty))
         if loc is None:                                   # sparse: background
             return np.zeros((self.tile_h, self.tile_w, self.spp), self.dtype)
         off, length = loc
@@ -142,6 +162,14 @@ class EtsFile:
                                      self.tile_w, self.spp, self.dtype)
         except Exception:
             return np.zeros((self.tile_h, self.tile_w, self.spp), self.dtype)
+
+    def _tile(self, tx, ty):
+        if len(self._planes) == 1:
+            return self._plane_tile(self._planes[0], tx, ty)
+        # merged channel planes: one grayscale plane per RGB channel
+        return np.concatenate(
+            [self._plane_tile(p, tx, ty)[:, :, :1] for p in self._planes],
+            axis=-1)
 
     def read_region(self, x, y, w, h):
         """uint8 (h, w, 3) RGB region; wide sample types are narrowed by
@@ -178,6 +206,8 @@ def _to_rgb8(t):
         t = np.clip(t, 0, 255).astype(np.uint8)
     if t.shape[-1] == 1:
         t = np.repeat(t, 3, -1)
+    elif t.shape[-1] == 2:   # two merged channel planes: pad blue with 0
+        t = np.concatenate([t, np.zeros_like(t[:, :, :1])], axis=-1)
     return t[:, :, :3]
 
 

@@ -21,7 +21,7 @@ def _png(arr):
 
 def _make_svslide(tmp_path, canvas, tile=(64, 48), name='slide', lens=20.0,
                   handler_row=True, size_row=True, split_channels=True,
-                  drop=()):
+                  drop=(), ds=1, extra_image_rows=(), hr_ref=False):
     """Build a Sakura-layout SQLite slide from ``canvas``. Channel
     payloads are grayscale PNGs (lossless) so region reads compare
     exactly; real scanners write grayscale JPEGs but the container
@@ -33,15 +33,24 @@ def _make_svslide(tmp_path, canvas, tile=(64, 48), name='slide', lens=20.0,
     con.execute('CREATE TABLE SVSlideDataXPO '
                 '(OID INTEGER PRIMARY KEY, m_slideId TEXT)')
     con.execute('INSERT INTO SVSlideDataXPO VALUES (1, ?)', (name,))
-    con.execute('CREATE TABLE SVHRScanDataXPO (OID INTEGER PRIMARY KEY, '
-                'm_nominalLensMagnification REAL)')
-    con.execute('INSERT INTO SVHRScanDataXPO VALUES (1, ?)', (lens,))
+    if hr_ref:
+        con.execute('CREATE TABLE SVHRScanDataXPO (OID INTEGER PRIMARY KEY, '
+                    'm_nominalLensMagnification REAL, '
+                    'm_scannedImage INTEGER)')
+        con.execute('INSERT INTO SVHRScanDataXPO VALUES (1, ?, 1)', (lens,))
+    else:
+        con.execute('CREATE TABLE SVHRScanDataXPO (OID INTEGER PRIMARY KEY, '
+                    'm_nominalLensMagnification REAL)')
+        con.execute('INSERT INTO SVHRScanDataXPO VALUES (1, ?)', (lens,))
     if size_row:
         con.execute('CREATE TABLE SVScannedImageDataXPO '
                     '(OID INTEGER PRIMARY KEY, m_imageWidth INTEGER, '
                     'm_imageHeight INTEGER)')
         con.execute('INSERT INTO SVScannedImageDataXPO VALUES (1, ?, ?)',
-                    (w, h))
+                    (w * ds, h * ds))
+        for i, (ew, eh) in enumerate(extra_image_rows):
+            con.execute('INSERT INTO SVScannedImageDataXPO VALUES (?, ?, ?)',
+                        (10 + i, ew, eh))
     if handler_row:
         con.execute('CREATE TABLE DataManagerSQLiteHandler '
                     '(UniqueTableName TEXT)')
@@ -58,10 +67,11 @@ def _make_svslide(tmp_path, canvas, tile=(64, 48), name='slide', lens=20.0,
             if split_channels:
                 for c in range(3):
                     con.execute('INSERT INTO T VALUES (?, ?)',
-                                (f'T;{x}|{y};1;{c}', _png(part[..., c])))
+                                (f'T;{x * ds}|{y * ds};{ds};{c}',
+                                 _png(part[..., c])))
             else:
                 con.execute('INSERT INTO T VALUES (?, ?)',
-                            (f'T;{x}|{y};1;0', _png(part)))
+                            (f'T;{x * ds}|{y * ds};{ds};0', _png(part)))
     con.commit()
     con.close()
     return str(path)
@@ -157,4 +167,41 @@ def test_wsi_dispatch_and_salvage(tmp_path, canvas):
     out = r.read_region(0, 0, 150, 130)
     np.testing.assert_array_equal(out[:48], canvas[:48])   # intact rows
     assert (out[48:96, 64:128] == 0).all()                  # salvaged tile
+    r.close()
+
+
+def test_overview_rows_do_not_shrink_canvas(tmp_path, canvas):
+    """SVScannedImageDataXPO may also hold overview/label image rows; the
+    HR-scan size must win (ADVICE r4: join through SVHRScanDataXPO /
+    sanity-check against the tile-grid extent)."""
+    # bogus rows BEFORE and after the real one by OID order would
+    # previously win the first-non-null probe; both fail the grid check
+    path = _make_svslide(tmp_path, canvas, name='ovr',
+                         extra_image_rows=[(40, 30), (5000, 4000)])
+    r = SakuraReader(path)
+    assert r.size == (150, 130)
+    np.testing.assert_array_equal(r.read_region(0, 0, 150, 130), canvas)
+    r.close()
+
+
+def test_hr_scan_join_selects_referenced_row(tmp_path, canvas):
+    """With SVHRScanDataXPO.m_scannedImage present, only the referenced
+    SVScannedImageDataXPO row is considered."""
+    path = _make_svslide(tmp_path, canvas, name='href', hr_ref=True,
+                         extra_image_rows=[(149, 129)])
+    r = SakuraReader(path)
+    assert r.size == (150, 130)
+    r.close()
+
+
+def test_downsample_units_consistent(tmp_path, canvas):
+    """When the finest stored level has downsample > 1, metadata sizes
+    (level-0 pixels) must be converted to reader units so .size and
+    read_region agree (ADVICE r4)."""
+    path = _make_svslide(tmp_path, canvas, name='ds2', ds=2)
+    r = SakuraReader(path)
+    assert r.size == (150, 130)
+    np.testing.assert_array_equal(r.read_region(0, 0, 150, 130), canvas)
+    np.testing.assert_array_equal(r.read_region(50, 30, 70, 60),
+                                  canvas[30:90, 50:120])
     r.close()

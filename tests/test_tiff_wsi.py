@@ -537,6 +537,35 @@ def test_trestle_overlaps_subtracted(tmp_path):
     w.close()
 
 
+def test_trestle_non_square_tiles(tmp_path):
+    """Trestle with tile_w != tile_h: the row grid must use tile HEIGHT
+    (ADVICE r4 — _effective_dims previously used tile width for both
+    axes, corrupting .size and the overlap subtraction)."""
+    rng = np.random.default_rng(9)
+    tw, th, ox, oy = 64, 32, 16, 8
+    ax, ay = tw - ox, th - oy
+    tx, ty = 3, 4
+    true = rng.integers(0, 255, ((ty - 1) * ay + th, (tx - 1) * ax + tw, 3),
+                        np.uint8)
+    raw = np.zeros((ty * th, tx * tw, 3), np.uint8)
+    for j in range(ty):
+        for i in range(tx):
+            raw[j * th:(j + 1) * th, i * tw:(i + 1) * tw] = \
+                true[j * ay:j * ay + th, i * ax:i * ax + tw]
+    path = str(tmp_path / 'nsq.tif')
+    write_pyramid_tiff(
+        path, raw, levels=(1,), tile=(tw, th), compression=False,
+        description=f'OverlapsXY={ox} {oy}', software='MedScan 1.0')
+    r = TiledTiffReader(path)
+    assert r.size == (true.shape[1], true.shape[0])
+    np.testing.assert_array_equal(
+        r.read_region(0, 0, true.shape[1], true.shape[0]), true)
+    # seam-straddling window
+    np.testing.assert_array_equal(r.read_region(30, 20, 90, 60),
+                                  true[20:80, 30:120])
+    r.close()
+
+
 def test_non_trestle_software_ignores_overlap_keys(tmp_path):
     """OverlapsXY in a description without the MedScan Software tag (e.g.
     an unrelated producer echoing metadata) must not shrink geometry."""

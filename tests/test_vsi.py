@@ -30,12 +30,15 @@ def _encode(tile, codec):
 
 
 def _write_ets(path, canvas, tile=(32, 32), codec='raw', levels=1,
-               ndim=4, pixel_type=0, drop=(), compression=0):
+               ndim=4, pixel_type=0, drop=(), compression=0,
+               split_channels=False):
     """Synthesize an ETS store from uint8/uint16 RGB ``canvas``: SIS
     volume header, ETS additional header, per-level tile chunks and the
-    used-chunk table. ``drop`` skips (x, y) level-0 chunks (sparse)."""
+    used-chunk table. ``drop`` skips (x, y) level-0 chunks (sparse).
+    ``split_channels`` writes one grayscale plane per RGB channel
+    (fluorescence layout: channel index in coords[2])."""
     th, tw = tile[1], tile[0]
-    spp = canvas.shape[2]
+    spp = 1 if split_channels else canvas.shape[2]
     chunks = []  # (coords tuple, payload)
     for lvl in range(levels):
         img = canvas[::2 ** lvl, ::2 ** lvl]
@@ -45,11 +48,17 @@ def _write_ets(path, canvas, tile=(32, 32), codec='raw', levels=1,
             for tx in range(gw):
                 if lvl == 0 and (tx, ty) in drop:
                     continue
-                t = np.zeros((th, tw, spp), canvas.dtype)
+                t = np.zeros((th, tw, canvas.shape[2]), canvas.dtype)
                 part = img[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
                 t[:part.shape[0], :part.shape[1]] = part
-                coords = [tx, ty] + [0] * (ndim - 3) + [lvl]
-                chunks.append((coords, _encode(t, codec)))
+                if split_channels:
+                    for c in range(canvas.shape[2]):
+                        coords = [tx, ty, c] + [0] * (ndim - 4) + [lvl]
+                        chunks.append((coords,
+                                       _encode(t[:, :, c:c + 1], codec)))
+                else:
+                    coords = [tx, ty] + [0] * (ndim - 3) + [lvl]
+                    chunks.append((coords, _encode(t, codec)))
     sis = struct.Struct('<4siii q i 4x q i')
     ets = struct.Struct('<4si iiiii iii')
     add_off = sis.size
@@ -171,3 +180,42 @@ def test_ets_salvage_and_bad_magic(tmp_path, canvas):
     empty.write_bytes(b'II*\x00')
     with pytest.raises(ValueError, match='no ETS pixel stores'):
         VsiReader(str(empty))
+
+
+def test_ets_channel_planes_merge_to_rgb(tmp_path, canvas):
+    """Fluorescence layout: one grayscale plane per channel with equal
+    level-0 extents must compose to RGB, not silently read one channel
+    (ADVICE r4)."""
+    path = _write_ets(tmp_path / 'chan.ets', canvas, tile=(32, 32),
+                      split_channels=True)
+    ets = EtsFile(path)
+    assert ets.size == (128, 96)
+    assert len(ets._planes) == 3
+    np.testing.assert_array_equal(ets.read_region(0, 0, 128, 96), canvas)
+    np.testing.assert_array_equal(ets.read_region(17, 9, 60, 50),
+                                  canvas[9:59, 17:77])
+
+
+def test_ets_channel_planes_with_pyramid(tmp_path, canvas):
+    """Channel planes + pyramid levels: only the level-0 planes merge."""
+    path = _write_ets(tmp_path / 'chanp.ets', canvas, tile=(32, 32),
+                      split_channels=True, levels=2)
+    ets = EtsFile(path)
+    assert ets.size == (128, 96)
+    np.testing.assert_array_equal(ets.read_region(0, 0, 128, 96), canvas)
+
+
+def test_ets_many_equal_planes_warns_and_reads_first(tmp_path, canvas):
+    """>4 equal-extent planes (a Z-stack): deterministic first plane +
+    a warning, not an arbitrary pick."""
+    import warnings as _w
+    gray = np.repeat(canvas[:, :, :1], 6, axis=-1)  # 6 identical "Z" planes
+    path = _write_ets(tmp_path / 'z.ets', gray, tile=(32, 32),
+                      split_channels=True)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter('always')
+        ets = EtsFile(path)
+        assert any('planes share' in str(r.message) for r in rec)
+    assert len(ets._planes) == 1
+    np.testing.assert_array_equal(ets.read_region(0, 0, 128, 96),
+                                  np.repeat(gray[:, :, :1], 3, axis=-1))
