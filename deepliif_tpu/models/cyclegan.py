@@ -230,12 +230,30 @@ def create_train_state(key, d: CycleGANDef, opt, steps_per_epoch=1):
                       d_tx.init(d_params), jnp.zeros((), jnp.int32)), g_tx, d_tx
 
 
-def make_train_steps(d: CycleGANDef, g_tx, d_tx, vgg_params):
+def make_train_steps(d: CycleGANDef, g_tx, d_tx, vgg_params, mesh=None):
     """Two jitted steps with host-side pool query in between (the pool is
-    cross-step state; everything else is fused)."""
+    cross-step state; everything else is fused).
+
+    ``mesh``: data-parallel over the device mesh — state/vgg replicated,
+    the (M, B, H, W, C) batch tensors sharded on axis 1 ('data'); the
+    loss means over the sharded batch make XLA emit the gradient
+    all-reduces inside each step. The reference wraps EVERY family in
+    DP/DDP uniformly (reference networks.py:118-139) — the host
+    image-pool between the two steps already materializes fakes on host,
+    so sharding each step needs only these annotations."""
     from .deepliif import TrainState
 
-    @jax.jit
+    if mesh is not None:
+        from .. import parallel
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = parallel.replicated(mesh)
+        msh = NamedSharding(mesh, P(None, 'data'))
+        g_jit = lambda f: jax.jit(f, in_shardings=(repl, msh, msh, repl))
+        d_jit = lambda f: jax.jit(f, in_shardings=(repl, msh, msh, msh, msh))
+    else:
+        g_jit = d_jit = jax.jit
+
+    @g_jit
     def g_step(state, real_as, real_bs, rng):
         (g_loss, (terms, outs)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.g_params, state.d_params, real_as,
@@ -247,7 +265,7 @@ def make_train_steps(d: CycleGANDef, g_tx, d_tx, vgg_params):
                                state.d_opt_state, state.step)
         return new_state, {'loss_G': g_loss, **terms}, outs
 
-    @jax.jit
+    @d_jit
     def d_step(state, pooled_fake_bs, pooled_fake_as, real_as, real_bs):
         (d_loss, terms), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params, pooled_fake_bs, pooled_fake_as, real_as, real_bs, d)
@@ -261,6 +279,27 @@ def make_train_steps(d: CycleGANDef, g_tx, d_tx, vgg_params):
     return g_step, d_step
 
 
+def make_eval_losses(d: CycleGANDef, vgg_params):
+    """Validation losses without updates (reference family-generic
+    calculate_losses(), cli.py:495-511). D losses are computed on the
+    CURRENT fakes — the image pool is training-only history state."""
+
+    def eval_losses(state, batch, rng):
+        m = d.modalities_no
+        real_as = jnp.broadcast_to(batch['A'][None],
+                                   (m,) + tuple(batch['A'].shape))
+        real_bs = batch['B_mods'][:m]
+        g_loss, (g_terms, outs) = g_loss_fn(
+            state.g_params, state.d_params, real_as, real_bs, d,
+            vgg_params, rng)
+        d_loss, d_terms = d_loss_fn(
+            state.d_params, outs['fake_bs'], outs['fake_as'], real_as,
+            real_bs, d)
+        return {'loss_G': g_loss, 'loss_D': d_loss, **g_terms, **d_terms}
+
+    return jax.jit(eval_losses)
+
+
 @register_model('CycleGAN')
 class CycleGANModel:
     def_from_opt = staticmethod(def_from_opt)
@@ -268,5 +307,6 @@ class CycleGANModel:
     generator_forward = staticmethod(generator_forward)
     inference_forward = staticmethod(inference_forward)
     make_train_steps = staticmethod(make_train_steps)
+    make_eval_losses = staticmethod(make_eval_losses)
     create_train_state = staticmethod(create_train_state)
     ImagePool = ImagePool

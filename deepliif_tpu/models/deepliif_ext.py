@@ -284,10 +284,31 @@ def make_train_step(d, g_tx, d_tx):
     return jax.jit(make_train_step_body(d, g_tx, d_tx), donate_argnums=(0,))
 
 
+def make_eval_losses(d: DeepLIIFExtDef, vgg_params=None):
+    """Validation losses without updates — the reference computes val
+    losses for EVERY family via the family-generic calculate_losses()
+    (reference cli.py:495-511); Ext has no VGG term so vgg_params is
+    accepted only for signature uniformity."""
+
+    def eval_losses(state, batch, rng):
+        mods, segs = generator_forward(state.g_params, batch['A'], d,
+                                       train=True, rng=rng)
+        g_out = {'mods': mods}
+        if segs is not None:
+            g_out['segs'] = segs
+        d_loss, d_terms = d_loss_fn(state.d_params, g_out, batch, d)
+        g_loss, (g_terms, _) = g_loss_fn(state.g_params, state.d_params,
+                                         batch, d, rng)
+        return {'loss_G': g_loss, 'loss_D': d_loss, **g_terms, **d_terms}
+
+    return jax.jit(eval_losses)
+
+
 @register_model('DeepLIIFExt')
 class DeepLIIFExtModel:
     def_from_opt = staticmethod(def_from_opt)
     init_params = staticmethod(init_params)
     generator_forward = staticmethod(generator_forward)
     make_train_step = staticmethod(make_train_step)
+    make_eval_losses = staticmethod(make_eval_losses)
     create_train_state = staticmethod(create_train_state)

@@ -181,10 +181,26 @@ def make_train_step(d, g_tx, d_tx, vgg_params):
                    donate_argnums=(0,))
 
 
+def make_eval_losses(d: SDGDef, vgg_params):
+    """Validation losses without updates (reference family-generic
+    calculate_losses(), cli.py:495-511)."""
+
+    def eval_losses(state, batch, rng):
+        mods, _ = generator_forward(state.g_params, batch['A'], d,
+                                    train=True, rng=rng)
+        d_loss, d_terms = d_loss_fn(state.d_params, {'mods': mods}, batch, d)
+        g_loss, (g_terms, _) = g_loss_fn(state.g_params, state.d_params,
+                                         batch, d, vgg_params, rng)
+        return {'loss_G': g_loss, 'loss_D': d_loss, **g_terms, **d_terms}
+
+    return jax.jit(eval_losses)
+
+
 @register_model('SDG')
 class SDGModel:
     def_from_opt = staticmethod(def_from_opt)
     init_params = staticmethod(init_params)
     generator_forward = staticmethod(generator_forward)
     make_train_step = staticmethod(make_train_step)
+    make_eval_losses = staticmethod(make_eval_losses)
     create_train_state = staticmethod(create_train_state)

@@ -224,6 +224,19 @@ def train_model(opt):
         except FileNotFoundError as e:
             raise FileNotFoundError(f'--continue-train set but checkpoint missing: {e}')
 
+    devices = jax.devices()
+    batch = getattr(opt, 'batch_size', 1)
+    # batch_size is PER HOST (the loader yields that many rank-strided
+    # samples); the sharded step sees the global batch across processes
+    global_batch = batch * jax.process_count()
+    use_mesh = len(devices) > 1 and global_batch % len(devices) == 0
+    # CycleGAN data-parallels on a single-host mesh (reference wraps every
+    # family in DP/DDP uniformly, networks.py:118-139); multi-host would
+    # need cross-host gathers around the host image-pool query, so it
+    # falls back to per-host stepping there
+    if model == 'CycleGAN' and jax.process_count() > 1:
+        use_mesh = False
+
     # build the un-jitted step body per model family
     if model == 'DeepLIIFExt':
         step_body = fam.make_train_step_body(d, g_tx, d_tx)
@@ -240,7 +253,17 @@ def train_model(opt):
         # (state, batch, rng) -> (state, metrics, g_out) signature as the
         # other families so the surrounding loop is shared.
         cg = fam
-        g_step, d_step = cg.make_train_steps(d, g_tx, d_tx, vgg_params)
+        cg_mesh = parallel.get_mesh() if use_mesh else None
+        if cg_mesh is not None:
+            state = parallel.replicate(cg_mesh, state)
+            vgg_params = parallel.replicate(cg_mesh, vgg_params)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            cg_sh = NamedSharding(cg_mesh, P(None, 'data'))
+            print(f'data-parallel CycleGAN over {len(devices)} devices')
+        else:
+            cg_sh = None
+        g_step, d_step = cg.make_train_steps(d, g_tx, d_tx, vgg_params,
+                                             mesh=cg_mesh)
         pool_size = getattr(opt, 'pool_size', 50)
         seed0 = getattr(opt, 'seed', None) or 0
         pools_a = [cg.ImagePool(pool_size, seed0 + i)
@@ -253,7 +276,12 @@ def train_model(opt):
                 jnp.asarray(jbatch['A'])[None],
                 (d.modalities_no,) + tuple(jbatch['A'].shape))
             real_bs = jnp.asarray(jbatch['B_mods'])[:d.modalities_no]
+            if cg_sh is not None:
+                real_as = jax.device_put(real_as, cg_sh)
+                real_bs = jax.device_put(real_bs, cg_sh)
             state, gm, outs = g_step(state, real_as, real_bs, rng)
+            # pool query on host; the re-uploaded pooled fakes are placed
+            # by d_step's in_shardings on the mesh path
             fb = jnp.stack([jnp.asarray(pools_b[i].query(
                 np.asarray(outs['fake_bs'][i])))
                 for i in range(d.modalities_no)])
@@ -265,16 +293,11 @@ def train_model(opt):
     else:
         step_body = dl.make_train_step_body(d, g_tx, d_tx, vgg_params)
 
-    devices = jax.devices()
-    batch = getattr(opt, 'batch_size', 1)
-    # batch_size is PER HOST (the loader yields that many rank-strided
-    # samples); the sharded step sees the global batch across processes
-    global_batch = batch * jax.process_count()
-    # CycleGAN can't fuse into one sharded program (host pool between its
-    # two steps); it runs the jitted steps on the default device
-    use_mesh = (model != 'CycleGAN' and len(devices) > 1
-                and global_batch % len(devices) == 0)
     if model == 'CycleGAN':
+        # CycleGAN does not fuse into ONE sharded program (host pool
+        # between its two steps); its driver shards each step over the
+        # mesh itself (cg_sh above), so the generic batch sharding stays
+        # off here
         mesh = None
         data_sh = None
         step_fn = step_body   # already drives jitted inner steps
@@ -301,9 +324,15 @@ def train_model(opt):
         data_sh = None
         step_fn = jax.jit(step_body, donate_argnums=(0,))
 
-    eval_fn = (dl.make_eval_losses(d, vgg_params)
-               if getattr(opt, 'with_val', False)
-               and model in ('DeepLIIF', 'DeepLIIFKD') else None)
+    # --with-val computes validation losses for EVERY family (reference
+    # calculate_losses() is family-generic, cli.py:495-511); the KD
+    # student is DeepLIIF topology so it shares dl's eval. Cell-count
+    # RMSE stays DeepLIIF/KD-only (_run_validation), as the reference's
+    # does (cli.py:514).
+    eval_fn = None
+    if getattr(opt, 'with_val', False):
+        eval_fam = dl if model in ('DeepLIIF', 'DeepLIIFKD') else fam
+        eval_fn = eval_fam.make_eval_losses(d, vgg_params)
 
     visualizer = Visualizer(opt)
     rng = jax.random.PRNGKey((getattr(opt, 'seed', None) or 0) + 1)
@@ -474,8 +503,12 @@ def _run_validation(opt, d, state, eval_fn, visualizer, epoch, rng):
     gt_path = os.path.join(opt.dataroot, 'val', 'metrics.json')
     # seg outputs feed only the cell-count RMSE vs metrics.json — without
     # that ground truth the second (eager) generator forward per sample
-    # would be pure waste on a platform with ~30 ms/op dispatch overhead
-    want_outputs = os.path.exists(gt_path)
+    # would be pure waste on a platform with ~30 ms/op dispatch overhead.
+    # RMSE is DeepLIIF/KD-only (seg + counts), like the reference
+    # (cli.py:514); other families get val losses only.
+    want_outputs = (os.path.exists(gt_path)
+                    and getattr(opt, 'model', 'DeepLIIF')
+                    in ('DeepLIIF', 'DeepLIIFKD'))
     for data in dataset_val:
         jbatch = _batch_to_device(data, d)
         m = eval_fn(state, jbatch, rng)
