@@ -154,14 +154,19 @@ class InferenceSession:
         import json
         with open(path) as f:
             doc = json.load(f)
-        return {k: float(v) for k, v in doc.get('scales', doc).items()}
+        return {k: (v if isinstance(v, list) else float(v))
+                for k, v in doc.get('scales', doc).items()}
 
-    def calibrate_int8(self, tiles_u8, save=True):
+    def calibrate_int8(self, tiles_u8, save=True, max_tiles=32, batch=4,
+                       pct=None, per_channel=True):
         """Calibrate static int8 activation scales on sample tiles
         ((N, s, s, 3) uint8), re-quantize the params with them, and
         persist ``act_scales.json`` next to the checkpoint so later
         sessions skip calibration. DeepLIIF family only (the int8
-        flagship); runs the ensemble eagerly once per net."""
+        flagship); runs the ensemble eagerly in batches of ``batch`` over
+        up to ``max_tiles`` tiles, max-merging per-input-channel ranges
+        (optionally percentile-clipped via ``pct`` /
+        DEEPLIIF_INT8_CALIB_PCT)."""
         if not getattr(self.d, 'quant_int8', False):
             raise ValueError('calibrate_int8 requires --precision int8')
         if self.family != 'deepliif':
@@ -169,9 +174,17 @@ class InferenceSession:
                 'int8 calibration is implemented for the DeepLIIF family')
         from .. import parallel
         from ..nets import layers as _L
-        x = jnp.asarray(np.asarray(tiles_u8), jnp.float32) / 127.5 - 1.0
+        if pct is None:
+            pct = float(os.environ.get('DEEPLIIF_INT8_CALIB_PCT', '100'))
+        tiles = np.asarray(tiles_u8)[:max_tiles]
         raw = self._load_params(self.model_dir)
-        self.act_scales = dl.calibrate_act_scales(raw, x, self.d)
+        scales = {}
+        for i in range(0, len(tiles), batch):
+            x = jnp.asarray(tiles[i:i + batch], jnp.float32) / 127.5 - 1.0
+            dl.calibrate_act_scales(raw, x, self.d, out=scales, pct=pct,
+                                    per_channel=per_channel)
+        self.act_scales = {k: (v.tolist() if hasattr(v, 'tolist') else v)
+                           for k, v in scales.items()}
         self.params = _L.quantize_conv_tree_int8(
             raw, act_scales=self.act_scales)
         if self.mesh is not None:
@@ -181,10 +194,32 @@ class InferenceSession:
             try:
                 with open(os.path.join(self.model_dir,
                                        'act_scales.json'), 'w') as f:
-                    json.dump({'scales': self.act_scales}, f, indent=1)
+                    json.dump({'scales': self.act_scales, 'pct': pct,
+                               'n_tiles': int(len(tiles))}, f, indent=1)
             except OSError:
                 pass  # read-only model dir: calibration stays in-session
         return self.act_scales
+
+    def _dynamic_int8_active(self, th, tw):
+        """True when every int8-quantized conv will run the fused
+        per-chunk-dynamic Pallas kernel at this tile size — i.e. scope is
+        'resblocks' (only resblock convs quantize), the params carry no
+        static scales, and the fused translator path engages — so static
+        calibration would be dead weight."""
+        if self.family != 'deepliif' or not getattr(self.d, 'quant_int8',
+                                                    False):
+            return False
+        if os.environ.get('DEEPLIIF_INT8_SCOPE', 'all') != 'resblocks':
+            return False
+        if not getattr(self.d, 'uniform_g', True):
+            return False
+        dtype = self.d.dtype if self.d.dtype is not None else jnp.float32
+        probe = jax.ShapeDtypeStruct((1, th, tw, 3), dtype)
+        try:
+            return (dl._translators_fused(probe, self.d, self.params['G'])
+                    and self.act_scales is None)
+        except Exception:
+            return False
 
     def _init_like(self):
         if self.family == 'deepliif':
@@ -374,11 +409,16 @@ class InferenceSession:
 
         if (getattr(self.d, 'quant_int8', False) and self.act_scales is None
                 and self.family == 'deepliif'
-                and os.environ.get('DEEPLIIF_INT8_CALIBRATE', '1') != '0'):
+                and os.environ.get('DEEPLIIF_INT8_CALIBRATE', '1') != '0'
+                and not self._dynamic_int8_active(th, tw)):
             # first real tiles seen by an uncalibrated int8 session: derive
-            # static activation scales from them (one eager ensemble pass),
-            # persisted to the model dir for every later session
-            self.calibrate_int8(tiles_u8[nonempty[:2]])
+            # static per-channel activation scales from up to 32 of them
+            # (eager ensemble passes in small batches), persisted to the
+            # model dir for every later session. Skipped entirely when the
+            # fused per-chunk-dynamic kernel serves every quantized conv
+            # (scope=resblocks default) — it needs no calibration and is
+            # finer-grained than any static scale.
+            self.calibrate_int8(tiles_u8[nonempty[:32]])
 
         x_all = tiles_u8[nonempty]  # normalization happens on device
         use_seg_only = (self.family == 'deepliif' and seg_only and seg_gen

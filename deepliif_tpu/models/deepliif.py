@@ -206,10 +206,11 @@ def _translators_fused(x, d: DeepLIIFDef, params_g=None):
     cannot lower a vmapped ANY-space pallas_call, and XLA serializes the
     vmapped members anyway.
 
-    int8 mode: engages only once every resblock conv carries static
-    (calibrated) quantization params — the fused chain then runs the int8
-    MXU kernel (ops.fused_resblock.resblock_chain_int8); uncalibrated
-    (dynamic-scale) int8 keeps the unfused XLA path unchanged."""
+    int8 mode: engages when every resblock conv carries quantization
+    params the chain can run — calibrated static scales ('a_s'), or plain
+    w_q under the default per-chunk dynamic mode (DEEPLIIF_INT8_DYN; see
+    ops.fused_resblock.resblock_chain_int8). Otherwise int8 keeps the
+    unfused XLA path unchanged."""
     from ..nets import resnet
     ok = (d.allow_fused
           and d.net_g[0].startswith('resnet_')
@@ -317,13 +318,17 @@ def inference_forward(params, x, d: DeepLIIFDef, seg_weights=None,
     return out
 
 
-def calibrate_act_scales(params, x, d: DeepLIIFDef, min_ch=16, out=None):
-    """Per-conv activation max-abs over one normalized input batch, for
+def calibrate_act_scales(params, x, d: DeepLIIFDef, min_ch=16, out=None,
+                         per_channel=True, pct=100.0):
+    """Per-conv activation range over one normalized input batch, for
     static int8 quantization (layers.quantize_conv_tree_int8 act_scales=).
+    ``per_channel``/``pct`` select the recorded statistic (see
+    layers.act_calibration): per-input-channel max-abs by default, or a
+    percentile-clipped range.
 
     Replays the inference dataflow EAGERLY one net at a time — the
     calibration tap needs concrete values, and vmap/jit would trace — so
-    call it outside jit with a small batch. Returns {'G/...': max_abs,
+    call it outside jit with a small batch. Returns {'G/...': range,
     'GS/...': ...} keyed exactly like the quantization walk; pass the same
     ``out`` dict across batches to max-merge."""
     from ..nets import layers as L
@@ -340,7 +345,8 @@ def calibrate_act_scales(params, x, d: DeepLIIFDef, min_ch=16, out=None):
             prefix = ('G',)
         else:
             p_i, prefix = p['G'][i], ('G', str(i))
-        with L.act_calibration(p_i, prefix, scales, min_ch):
+        with L.act_calibration(p_i, prefix, scales, min_ch,
+                               per_channel=per_channel, pct=pct):
             mods.append(net.apply(p_i, x))
     if d.seg_gen:
         mods_s = jnp.stack(mods)
@@ -353,7 +359,8 @@ def calibrate_act_scales(params, x, d: DeepLIIFDef, min_ch=16, out=None):
                 prefix = ('GS',)
             else:
                 p_i, prefix = p['GS'][i], ('GS', str(i))
-            with L.act_calibration(p_i, prefix, scales, min_ch):
+            with L.act_calibration(p_i, prefix, scales, min_ch,
+                                   per_channel=per_channel, pct=pct):
                 net.apply(p_i, seg_in[i])
     return scales
 

@@ -25,6 +25,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _DN = ('NHWC', 'HWIO', 'NHWC')
 
@@ -81,13 +82,19 @@ def init_norm(key, c, init_type='normal', init_gain=0.02):
 
 def _quant_act(x, p):
     """Activation quantization for a quantized conv param dict: static
-    (calibrated 'a_s') or dynamic per-sample. ONE definition shared by
-    conv2d and conv_transpose2d so the two int8 paths cannot diverge."""
+    (calibrated 'a_s' — scalar per-tensor, or (C,) per-input-channel) or
+    dynamic per-sample. ONE definition shared by conv2d and
+    conv_transpose2d so the two int8 paths cannot diverge.
+
+    Returns (q, deq_extra): with static scales the activation scale is
+    already FOLDED into 'w_s' at quantize time (quantize_conv_tree_int8),
+    so deq_extra is None and the caller dequantizes by w_s alone; dynamic
+    returns the per-sample scale to multiply in."""
     if 'a_s' in p:
         s = p['a_s']
         q = jnp.clip(jnp.round(x * (1.0 / s).astype(x.dtype)),
                      -127, 127).astype(jnp.int8)
-        return q, s
+        return q, None
     return _quant_act_int8(x)
 
 
@@ -111,7 +118,8 @@ def conv2d(x, p, stride=1, padding=0):
         y = jax.lax.conv_general_dilated(
             q, p['w_q'], (stride, stride), pad, dimension_numbers=_DN,
             preferred_element_type=jnp.int32)
-        out = (y.astype(jnp.float32) * (s * p['w_s'])).astype(x.dtype)
+        deq = p['w_s'] if s is None else s * p['w_s']
+        out = (y.astype(jnp.float32) * deq).astype(x.dtype)
         if 'b' in p:
             out = out + p['b'].astype(x.dtype)
         return out
@@ -206,18 +214,28 @@ def _quantizable_conv_paths(tree, prefix=(), min_ch=16):
 
 
 class act_calibration:
-    """Context manager recording per-conv INPUT max-abs during an EAGER
+    """Context manager recording per-conv INPUT ranges during an EAGER
     forward (conv2d/conv_transpose2d call ``record`` on entry).
 
     ``tree`` is the (per-net, unstacked) param subtree the forward will
     consume; recorded keys are its conv paths prefixed with ``prefix`` so
     they line up with quantize_conv_tree_int8's walk over the full stacked
     params. Results max-merge into ``out`` — run several batches/nets
-    under the same ``out`` to calibrate over all of them."""
+    under the same ``out`` to calibrate over all of them.
 
-    def __init__(self, tree, prefix, out, min_ch=16):
+    ``per_channel=True`` (default) records a per-input-channel max-abs
+    vector (C,); quantize_conv_tree_int8 folds it into the weights so the
+    int8 lattice resolves each channel's own range instead of the whole
+    tensor's worst outlier. ``pct`` < 100 clips the recorded range to that
+    percentile of |x| per channel (per batch, max-merged across batches) —
+    outliers beyond it saturate to +-127 instead of dilating the lattice."""
+
+    def __init__(self, tree, prefix, out, min_ch=16, per_channel=True,
+                 pct=100.0):
         self._paths = _quantizable_conv_paths(tree, prefix, min_ch)
         self.out = out
+        self.per_channel = per_channel
+        self.pct = float(pct)
 
     def __enter__(self):
         global _ACT_CALIB
@@ -238,8 +256,22 @@ class act_calibration:
             raise RuntimeError(
                 'activation calibration must run eagerly (no jit/vmap '
                 'around the calibrated forward)')
-        m = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
-        self.out[path] = max(self.out.get(path, 0.0), m)
+        a = jnp.abs(x.astype(jnp.float32))
+        if not self.per_channel:
+            m = float(jnp.max(a))
+            prev = self.out.get(path, 0.0)
+            self.out[path] = max(float(np.asarray(prev).max()
+                                       if not np.isscalar(prev) else prev), m)
+            return
+        flat = a.reshape(-1, a.shape[-1])
+        if self.pct >= 100.0:
+            m = jnp.max(flat, axis=0)
+        else:
+            m = jnp.percentile(flat, self.pct, axis=0)
+        m = np.asarray(m, np.float32)
+        prev = self.out.get(path)
+        self.out[path] = m if prev is None else np.maximum(
+            np.asarray(prev, np.float32), m)
 
 
 def int8_scope_predicate(scope=None):
@@ -274,9 +306,16 @@ def quantize_conv_tree_int8(params, min_ch=16, act_scales=None, scope=None):
     ``act_scales`` switches activation quantization from dynamic per-sample
     (a max-abs reduction that forces the activation to materialize) to
     static calibrated scales (a pure elementwise quantize XLA fuses into
-    the producer): either one float applied everywhere, or a
-    {'/'.join(path): max_abs} dict from calibrate_act_scales — convs with
-    no entry keep dynamic quantization.
+    the producer): one float applied everywhere, or a
+    {'/'.join(path): max_abs} dict from calibrate_act_scales where each
+    value is a scalar (per-tensor) or a (cin,) vector (per-input-channel,
+    act_calibration per_channel=True) — convs with no entry keep dynamic
+    quantization. Static scales are FOLDED into the weight before weight
+    quantization (w_eff[..,ci,o] = w[..,ci,o] * a_ci), so 'w_s' becomes
+    the complete per-output-channel dequant factor and 'a_s' (scalar or
+    (cin,)) is used only to quantize the activation. Per-channel folding
+    lets the int8 lattice resolve each input channel's own range — the
+    round-5 fidelity lever for the flagship int8 config.
 
     ``scope`` optionally restricts which convs quantize: a predicate over
     the joined path (see int8_scope_predicate)."""
@@ -290,17 +329,27 @@ def quantize_conv_tree_int8(params, min_ch=16, act_scales=None, scope=None):
                 if scope is not None and not scope('/'.join(path)):
                     return node
                 if cin >= min_ch and cout >= min_ch:
-                    out = quantize_conv_int8(node)
                     scale = (act_scales if isinstance(act_scales, (int, float))
                              else (act_scales or {}).get('/'.join(path)))
-                    if scale is not None:
-                        val = max(float(scale), 1e-12) / 127.0
+                    if scale is None:
+                        return quantize_conv_int8(node)
+                    a = np.maximum(np.asarray(scale, np.float32).reshape(-1),
+                                   1e-12) / 127.0
+                    if a.size not in (1, cin):
+                        raise ValueError(
+                            f'act scale for {"/".join(path)} has {a.size} '
+                            f'entries, conv has cin={cin}')
+                    w_eff = node['w'] * jnp.asarray(a)[:, None]
+                    out = quantize_conv_int8({**node, 'w': w_eff})
+                    out['w'] = node['w']   # float fallback keeps original
+                    a_s = jnp.asarray(a[0] if a.size == 1 else a, jnp.float32)
+                    if node['w'].ndim == 5:
                         # stacked (vmapped-ensemble) kernels need the
                         # net-stack axis on every leaf vmap maps over
-                        out['a_s'] = (jnp.full((node['w'].shape[0],), val,
-                                               jnp.float32)
-                                      if node['w'].ndim == 5
-                                      else jnp.float32(val))
+                        n = node['w'].shape[0]
+                        a_s = (jnp.full((n,), a_s) if a_s.ndim == 0
+                               else jnp.tile(a_s[None], (n, 1)))
+                    out['a_s'] = a_s
                     return out
                 return node
             return {k: walk(v, path + (k,)) for k, v in node.items()}
@@ -454,7 +503,8 @@ def conv_transpose2d(x, p, stride=2, padding=1, output_padding=1):
             q, p['w_q'], (1, 1), [(lo, hi), (lo, hi)],
             lhs_dilation=(stride, stride), dimension_numbers=_DN,
             preferred_element_type=jnp.int32)
-        out = (y.astype(jnp.float32) * (s * p['w_s'])).astype(x.dtype)
+        deq = p['w_s'] if s is None else s * p['w_s']
+        out = (y.astype(jnp.float32) * deq).astype(x.dtype)
         if 'b' in p:
             out = out + p['b'].astype(x.dtype)
         return out

@@ -88,25 +88,46 @@ def _fused_ok(x, norm, padding_type, train, use_dropout):
     return jax.default_backend() == 'tpu'
 
 
-def int8_chain_ready(params, n_blocks):
-    """True when every resblock conv carries static int8 quantization
-    params (w_q + calibrated a_s) and DEEPLIIF_FUSED_INT8 isn't 0 — the
-    single gate for the fused int8 chain, shared by apply() and the
-    model-level unroll decision (models.deepliif._translators_fused) so
-    the kill switch cannot leave the two halves disagreeing (a divergence
-    that would silently run the resblocks on the float kernel)."""
+def _int8_dyn_enabled():
+    """Per-chunk dynamic activation scales in the fused int8 kernel
+    (DEEPLIIF_INT8_DYN, default on) — calibration-free and finer-grained
+    than any static scale (ops.fused_resblock conv3x3_stats_int8)."""
+    import os
+    return os.environ.get('DEEPLIIF_INT8_DYN', '1') != '0'
+
+
+def int8_chain_mode(params, n_blocks):
+    """'static' / 'dynamic' / None — how (whether) the fused int8 chain
+    can run over these resblock params. 'static' needs every conv to
+    carry calibrated 'a_s' (whose activation scales are folded into w_s);
+    'dynamic' needs plain w_q (unfolded) on every conv plus the
+    DEEPLIIF_INT8_DYN default. This is the single gate shared by apply()
+    and the model-level unroll decision
+    (models.deepliif._translators_fused) so the kill switches cannot
+    leave the two halves disagreeing (a divergence that would silently
+    run the resblocks on the float kernel)."""
     import os
     if os.environ.get('DEEPLIIF_FUSED_INT8', '1') == '0':
-        return False
+        return None
     if not isinstance(params, dict):
-        return False
+        return None
+    n_as = 0
     for i in range(n_blocks):
         for j in (1, 2):
             pp = params.get(f'res{i}_conv{j}')
-            if not isinstance(pp, dict) or 'w_q' not in pp \
-                    or 'a_s' not in pp:
-                return False
-    return True
+            if not isinstance(pp, dict) or 'w_q' not in pp:
+                return None
+            n_as += 'a_s' in pp
+    if n_as == 2 * n_blocks:
+        return 'static'
+    if n_as == 0 and _int8_dyn_enabled():
+        return 'dynamic'
+    return None
+
+
+def int8_chain_ready(params, n_blocks):
+    """Back-compat boolean form of int8_chain_mode."""
+    return int8_chain_mode(params, n_blocks) is not None
 
 
 def fused_applicable(h, w, ngf, norm, padding_type, train=False,
@@ -222,22 +243,25 @@ def apply(p, x, *, n_blocks=9, norm='batch', use_dropout=True,
         from ..ops import fused_resblock as FR
         # off-TPU (DEEPLIIF_FUSED=1 in tests) runs the kernel interpreted
         interp = jax.default_backend() != 'tpu'
-        if int8_chain_ready(p, n_blocks):
-            # statically-quantized resblocks run the int8 MXU kernel:
-            # quantize/dequant stay in VMEM, so this is the fused
-            # quantized-conv path the XLA int8 mode cannot express
-            # (docs/Performance.md 'int8 quantized inference')
+        mode = int8_chain_mode(p, n_blocks)
+        if mode is not None:
+            # quantized resblocks run the int8 MXU kernel: quantize/
+            # dequant stay in VMEM, so this is the fused quantized-conv
+            # path the XLA int8 mode cannot express (docs/Performance.md
+            # 'int8 quantized inference'). 'dynamic' scales per chunk in
+            # VMEM (no calibration); 'static' uses calibrated a_s.
             blocks = [{'w1q': p[f'res{i}_conv1']['w_q'],
                        'w1s': p[f'res{i}_conv1']['w_s'],
-                       'a1': p[f'res{i}_conv1']['a_s'],
+                       'a1': p[f'res{i}_conv1'].get('a_s', 1.0),
                        'norm1': p[f'res{i}_norm1'],
                        'w2q': p[f'res{i}_conv2']['w_q'],
                        'w2s': p[f'res{i}_conv2']['w_s'],
-                       'a2': p[f'res{i}_conv2']['a_s'],
+                       'a2': p[f'res{i}_conv2'].get('a_s', 1.0),
                        'norm2': p[f'res{i}_norm2']}
                       for i in range(n_blocks)]
             x = FR.resblock_chain_int8(x, blocks, padding=padding_type,
-                                       interpret=interp)
+                                       interpret=interp,
+                                       dynamic=mode == 'dynamic')
         else:
             blocks = [{'w1': p[f'res{i}_conv1']['w'].astype(x.dtype),
                        'norm1': p[f'res{i}_norm1'],

@@ -219,14 +219,21 @@ def conv3x3_stats(x, w, *, padding='reflect', in_scale=None, in_bias=None,
 
 def _kernel_int8(scale_ref, bias_ref, inva_ref, x_ref, deq_ref, w_ref,
                  y_ref, st_ref, blk, sem, *, ch, h, w, c, padding, in_relu,
-                 has_affine, out_dtype, n_samples):
+                 has_affine, out_dtype, n_samples, dynamic):
     """int8 variant of _kernel: the transformed input is quantized in
-    VMEM with a static (calibrated) scale, the 9 shifted matmuls run
-    int8 x int8 -> int32 on the MXU (2x the bf16 rate), and the dequant
-    (activation scale x per-output-channel weight scale) happens in the
-    epilogue before the stats — no int8/int32 intermediate ever reaches
-    HBM, which is exactly what the XLA `--precision int8` path cannot
-    avoid (docs/Performance.md 'int8 quantized inference')."""
+    VMEM, the 9 shifted matmuls run int8 x int8 -> int32 on the MXU (2x
+    the bf16 rate), and the dequant happens in the epilogue before the
+    stats — no int8/int32 intermediate ever reaches HBM, which is exactly
+    what the XLA `--precision int8` path cannot avoid
+    (docs/Performance.md 'int8 quantized inference').
+
+    ``dynamic=False``: static (calibrated) activation scale from inva_ref.
+    ``dynamic=True``: the scale is the chunk's own max-abs, computed in
+    VMEM right before quantizing — each (sample, row-chunk) gets the
+    finest lattice its actual values permit, with zero extra HBM traffic
+    and no calibration set. This is the round-5 fidelity lever: a static
+    scale must cover the worst outlier of the whole calibration
+    distribution, a per-chunk scale only its own 16 rows."""
     s = pl.program_id(0)
     r = pl.program_id(1)
     r0 = r * ch
@@ -283,13 +290,22 @@ def _kernel_int8(scale_ref, bias_ref, inva_ref, x_ref, deq_ref, w_ref,
         border = ((r0 == 0) & (row == 0)) | ((r0 + ch >= h) & (row == ch + 1))
         u = jnp.where(border, jnp.zeros_like(u), u)
 
-    # ---- static quantization, same lattice as layers.conv2d's 'a_s' path:
+    # ---- quantization, same lattice as layers.conv2d's 'a_s' path:
     # the scale multiply runs in u's dtype so the fused and XLA int8 paths
     # round through identical bf16 values; the roundeven itself runs in f32
     # (Mosaic has no bf16 roundeven lowering) — every bf16 value is f32-exact
-    # and the rounded integers are <=127, so the integers are identical
-    inva = inva_ref[0, 0]
-    v = (u * inva.astype(u.dtype)).astype(jnp.float32)
+    # and the rounded integers are <=127, so the integers are identical.
+    if dynamic:
+        # per-chunk dynamic scale: max |u| over this VMEM block (halo rows
+        # included — they feed the same contraction)
+        m = jnp.maximum(jnp.max(jnp.abs(u.astype(jnp.float32))), 1e-12)
+        inva = (127.0 / m).astype(u.dtype)
+        v = (u * inva).astype(jnp.float32)
+    else:
+        # inva is a (C,) vector: per-input-channel 1/a_s (per-tensor
+        # scales arrive pre-broadcast), multiplied along the lane dim
+        inva = inva_ref[0]
+        v = (u * inva.astype(u.dtype)).astype(jnp.float32)
     q = jnp.clip(jnp.round(v), -127, 127).astype(jnp.int8)
 
     if padding == 'reflect':
@@ -310,7 +326,10 @@ def _kernel_int8(scale_ref, bias_ref, inva_ref, x_ref, deq_ref, w_ref,
                 lhs, w_ref[dy, dx], dimension_numbers=dn,
                 preferred_element_type=jnp.int32)
 
-    yf = acc.astype(jnp.float32) * deq_ref[0]
+    deq = deq_ref[0]
+    if dynamic:
+        deq = deq * (m / 127.0)
+    yf = acc.astype(jnp.float32) * deq
     y_ref[0] = yf.astype(out_dtype)
 
     ssum = jnp.sum(yf, axis=(0, 1))
@@ -328,16 +347,23 @@ def _kernel_int8(scale_ref, bias_ref, inva_ref, x_ref, deq_ref, w_ref,
 
 def conv3x3_stats_int8(x, w_q, deq, inv_a, *, padding='reflect',
                        in_scale=None, in_bias=None, in_relu=False,
-                       chunk_rows=16, interpret=False):
+                       chunk_rows=16, interpret=False, dynamic=False):
     """Fused (affine -> relu ->) static-quantize -> int8 conv3x3 -> dequant
     + per-(sample, channel) output statistics.
 
-    x: (S, H, W, C) float; w_q: (3, 3, C, C) int8; deq: (C,) f32 dequant
-    scale (= a_s * w_s per output channel); inv_a: scalar f32 (= 1 / a_s).
-    Returns (y (S,H,W,C) in x.dtype, stats (S,2,C) f32) where
-    y = conv3x3(clip(round(u * inv_a)), w_q) * deq over the transformed
-    input u — the same contraction the XLA int8 conv path performs, with
-    nothing wider than x.dtype touching HBM.
+    x: (S, H, W, C) float; w_q: (3, 3, C, C) int8; deq: (C,) f32 per-output
+    -channel dequant scale; inv_a: scalar f32 or (C,) f32 per-input-channel
+    activation quantize scale (1 / a_s). Returns (y (S,H,W,C) in x.dtype,
+    stats (S,2,C) f32) where y = conv3x3(clip(round(u * inv_a)), w_q) * deq
+    over the transformed input u — the same contraction the XLA int8 conv
+    path performs, with nothing wider than x.dtype touching HBM. With
+    activation scales folded into the weights (layers.quantize_conv_tree_
+    int8), deq is just w_s.
+
+    ``dynamic=True``: ignore inv_a; each (sample, row-chunk) quantizes by
+    its own in-VMEM max-abs and dequantizes by (chunk_max/127) * deq, so
+    ``deq`` must be the weight-only per-output-channel scale and w_q must
+    be quantized from the UNFOLDED weights (plain quantize_conv_int8).
     """
     s_n, h, w_n, c = x.shape
     # same per-dtype clamp as conv3x3_stats: the scratch/out buffers are in
@@ -351,13 +377,14 @@ def conv3x3_stats_int8(x, w_q, deq, inv_a, *, padding='reflect',
     if not has_affine:
         in_scale = jnp.zeros((s_n, c), jnp.float32)
         in_bias = jnp.zeros((s_n, c), jnp.float32)
-    inv_a = jnp.asarray(inv_a, jnp.float32).reshape(1, 1)
+    inv_a = jnp.asarray(inv_a, jnp.float32)
+    inv_a = jnp.broadcast_to(inv_a.reshape(-1), (c,)).reshape(1, c)
     deq = jnp.asarray(deq, jnp.float32).reshape(1, c)
 
     kern = functools.partial(
         _kernel_int8, ch=ch, h=h, w=w_n, c=c, padding=padding,
         in_relu=in_relu, has_affine=has_affine, out_dtype=x.dtype,
-        n_samples=s_n)
+        n_samples=s_n, dynamic=dynamic)
 
     y, st = pl.pallas_call(
         kern,
@@ -367,8 +394,8 @@ def conv3x3_stats_int8(x, w_q, deq, inv_a, *, padding='reflect',
                          memory_space=pltpu.VMEM),      # in_scale
             pl.BlockSpec((s_n, c), lambda s, r: (0, 0),
                          memory_space=pltpu.VMEM),      # in_bias
-            pl.BlockSpec((1, 1), lambda s, r: (0, 0),
-                         memory_space=pltpu.SMEM),      # 1/a_s scalar
+            pl.BlockSpec((1, c), lambda s, r: (0, 0),
+                         memory_space=pltpu.VMEM),      # 1/a_s per channel
             pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
             pl.BlockSpec((1, c), lambda s, r: (0, 0),
                          memory_space=pltpu.VMEM),      # dequant scale
@@ -395,28 +422,37 @@ def conv3x3_stats_int8(x, w_q, deq, inv_a, *, padding='reflect',
 
 
 def resblock_chain_int8(x, blocks, *, padding='reflect', eps=1e-5,
-                        interpret=False, chunk_rows=16):
+                        interpret=False, chunk_rows=16, dynamic=False):
     """resblock_chain on the int8 MXU path.
 
     blocks: list of dicts {'w1q','w1s','a1','norm1','w2q','w2s','a2',
     'norm2'} where w*q are HWIO (3,3,C,C) int8 kernels, w*s (C,) f32
-    per-output-channel weight scales (layers.quantize_conv_int8), a* the
-    calibrated activation max-abs/127 scales (layers.quantize_conv_tree_int8
-    'a_s'), norm* {'scale','bias'} affine params. Same dataflow as
-    resblock_chain; each conv quantizes its transformed input in VMEM and
-    dequantizes in the epilogue."""
+    per-output-channel dequant scales, norm* {'scale','bias'} affine
+    params. Same dataflow as resblock_chain; each conv quantizes its
+    transformed input in VMEM and dequantizes in the epilogue.
+
+    ``dynamic=False`` (static/calibrated): w*s is the COMPLETE dequant
+    (activation scale folded in by layers.quantize_conv_tree_int8), a*
+    the calibrated activation quantize scales ('a_s': scalar per-tensor
+    or (C,) per-input-channel).
+    ``dynamic=True``: w*q/w*s are plain unfolded quantize_conv_int8
+    outputs, a* ignored/absent — each (sample, row-chunk) quantizes by
+    its own in-VMEM max-abs (see conv3x3_stats_int8)."""
     s_n, h, w_n, _ = x.shape
     for b in blocks:
-        a1 = jnp.asarray(b['a1'], jnp.float32)
-        a2 = jnp.asarray(b['a2'], jnp.float32)
+        if dynamic:
+            a1 = a2 = 1.0
+        else:
+            a1 = jnp.asarray(b['a1'], jnp.float32)
+            a2 = jnp.asarray(b['a2'], jnp.float32)
         h1, st1 = conv3x3_stats_int8(
-            x, b['w1q'], a1 * b['w1s'], 1.0 / a1, padding=padding,
-            interpret=interpret, chunk_rows=chunk_rows)
+            x, b['w1q'], b['w1s'], 1.0 / a1, padding=padding,
+            interpret=interpret, chunk_rows=chunk_rows, dynamic=dynamic)
         sc1, bi1 = finalize_norm(st1, b['norm1'], h, w_n, eps)
         h2, st2 = conv3x3_stats_int8(
-            h1, b['w2q'], a2 * b['w2s'], 1.0 / a2, padding=padding,
+            h1, b['w2q'], b['w2s'], 1.0 / a2, padding=padding,
             in_scale=sc1, in_bias=bi1, in_relu=True,
-            interpret=interpret, chunk_rows=chunk_rows)
+            interpret=interpret, chunk_rows=chunk_rows, dynamic=dynamic)
         sc2, bi2 = finalize_norm(st2, b['norm2'], h, w_n, eps)
         x = x + (h2 * sc2[:, None, None].astype(h2.dtype)
                  + bi2[:, None, None].astype(h2.dtype))

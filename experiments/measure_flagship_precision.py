@@ -76,19 +76,36 @@ def main():
     results['bf16_scoring_equal'] = results['bf16_scoring'] == sc32
     print('bf16 scoring', results['bf16_scoring'])
 
-    # int8 calibrated, scope resblocks, fused kernels (interpret on CPU)
+    # int8, scope resblocks, fused kernels (interpret on CPU): measure the
+    # round-5 calibration variants against f32 (VERDICT r4 next #1)
     os.environ['DEEPLIIF_INT8_SCOPE'] = 'resblocks'
     os.environ['DEEPLIIF_FUSED'] = '1'
-    md8 = md + '_int8'
-    shutil.copytree(md, md8)
-    t0 = time.time()
-    out8 = InferenceSession(md8, n_devices=1, precision='int8').run_tiles(
-        tile[None])
-    print(f'int8 run (incl. calibration) {time.time()-t0:.1f}s')
-    results['int8'] = drift(out8, f32)
-    results['int8_scoring'] = scoring_of(tile, out8)
-    results['int8_scoring_equal'] = results['int8_scoring'] == sc32
-    print('int8 scoring', results['int8_scoring'])
+
+    # (name, dyn, calib kwargs or None for dynamic/no calibration)
+    variants = [
+        ('int8', '1', None),                                  # per-chunk dynamic (default)
+        ('int8_static_pc', '0', dict(per_channel=True)),      # per-channel max
+        ('int8_static_pc_p999', '0', dict(per_channel=True, pct=99.9)),
+        ('int8_static_pt', '0', dict(per_channel=False)),     # r4 per-tensor max
+    ]
+    for name, dyn, calib in variants:
+        os.environ['DEEPLIIF_INT8_DYN'] = dyn
+        os.environ['DEEPLIIF_INT8_CALIBRATE'] = '0'  # explicit calibration only
+        md8 = md + '_' + name
+        if not os.path.isdir(md8):
+            shutil.copytree(md, md8)
+        t0 = time.time()
+        s8 = InferenceSession(md8, n_devices=1, precision='int8')
+        if calib is not None:
+            s8.calibrate_int8(tile[None], save=False, **calib)
+        out8 = s8.run_tiles(tile[None])
+        print(f'{name} run {time.time()-t0:.1f}s (dyn={dyn}, calib={calib})')
+        results[name] = drift(out8, f32)
+        results[f'{name}_scoring'] = scoring_of(tile, out8)
+        results[f'{name}_scoring_equal'] = results[f'{name}_scoring'] == sc32
+        print(f'{name} scoring', results[f'{name}_scoring'])
+    for v in ('DEEPLIIF_INT8_DYN', 'DEEPLIIF_INT8_CALIBRATE'):
+        os.environ.pop(v, None)
 
     out_path = os.path.join(REPO, 'experiments',
                             'measure_flagship_precision.json')

@@ -147,7 +147,15 @@ def test_int8_static_calibration_session(model_dir, tmp_path):
 
     s8 = InferenceSession(md, n_devices=1, precision='int8')
     out8 = s8.run_tiles(tiles)  # auto-calibrates on these tiles
-    assert s8.act_scales and all(v > 0 for v in s8.act_scales.values())
+    assert s8.act_scales
+    for v in s8.act_scales.values():
+        # round 5: per-input-channel vectors (lists). A dead (all-zero
+        # post-ReLU) channel records 0 — the quantizer floors it at
+        # 1e-12 when folding — so the contract is finite, >= 0, not
+        # all-zero.
+        arr = np.asarray(v)
+        assert np.all(np.isfinite(arr)) and np.all(arr >= 0)
+        assert np.any(arr > 0)
     assert os.path.exists(os.path.join(md, 'act_scales.json'))
     for k in f32:
         s = min(_ssim(out8[k][i], f32[k][i]) for i in range(len(tiles)))
@@ -160,7 +168,10 @@ def test_int8_static_calibration_session(model_dir, tmp_path):
     # a fresh session loads the persisted scales: no recalibration, outputs
     # byte-equal to the calibrating run
     s8b = InferenceSession(md, n_devices=1, precision='int8')
-    assert s8b.act_scales == pytest.approx(s8.act_scales)
+    assert set(s8b.act_scales) == set(s8.act_scales)
+    for key in s8.act_scales:
+        np.testing.assert_allclose(np.asarray(s8b.act_scales[key]),
+                                   np.asarray(s8.act_scales[key]), rtol=1e-6)
     out8b = s8b.run_tiles(tiles)
     for k in out8:
         np.testing.assert_array_equal(out8[k], out8b[k])
@@ -185,12 +196,13 @@ def test_bf16_session_fidelity_vs_f32(model_dir):
 
 def test_int8_resblock_scope_session_fused_kernel(model_dir, tmp_path,
                                                   monkeypatch):
-    """DEEPLIIF_INT8_SCOPE=resblocks + static calibration routes the
-    resblocks through the fused int8 Pallas kernel (interpreted on CPU)
-    and keeps every other conv in the float path — the highest-fidelity
-    int8 configuration and the one that compiles at the bf16 batch
-    ceiling on hardware (docs/Performance.md)."""
+    """DEEPLIIF_INT8_SCOPE=resblocks routes the resblocks through the
+    fused int8 Pallas kernel (interpreted on CPU) and keeps every other
+    conv in the float path — the headline int8 configuration. Since
+    round 5 it runs per-chunk DYNAMIC activation scales: no calibration
+    pass, no act_scales.json, finer lattices than any static scale."""
     import shutil
+    from deepliif_tpu.nets import resnet
     monkeypatch.setenv('DEEPLIIF_INT8_SCOPE', 'resblocks')
     monkeypatch.setenv('DEEPLIIF_FUSED', '1')
     md = str(tmp_path / 'md')
@@ -198,16 +210,21 @@ def test_int8_resblock_scope_session_fused_kernel(model_dir, tmp_path,
     tiles = _real_tiles()
     f32 = InferenceSession(model_dir, n_devices=1).run_tiles(tiles)
     s8 = InferenceSession(md, n_devices=1, precision='int8')
-    out8 = s8.run_tiles(tiles)  # auto-calibrates
+    out8 = s8.run_tiles(tiles)
     g = s8.params['G']
-    assert 'w_q' in g['res0_conv1'] and 'a_s' in g['res0_conv1']
+    assert 'w_q' in g['res0_conv1'] and 'a_s' not in g['res0_conv1']
+    assert s8.act_scales is None                      # no calibration ran
+    assert not os.path.exists(os.path.join(md, 'act_scales.json'))
     assert 'w_q' not in g['down0_conv']  # scope confined to resblocks
+    assert resnet.int8_chain_mode(
+        jax.tree_util.tree_map(lambda a: a[0], g), 6) == 'dynamic'
     assert dl._translators_fused(
         jnp.zeros((1, 64, 64, 3), jnp.float32), s8.d, g)
     for k in f32:
         s = min(_ssim(out8[k][i], f32[k][i]) for i in range(len(tiles)))
         assert s > 0.98, (k, s)
-    # Static scales keep outputs independent of batch COMPOSITION; across
+    # Per-(sample, chunk) scales keep outputs independent of batch
+    # COMPOSITION (each sample quantizes by its own rows); across
     # batch SIZES the seg U-Nets run float convs here (that is the point
     # of the scope), and XLA recompiles per bucket — float convs are not
     # bit-stable across batch shapes on the CPU backend, so unlike the
@@ -216,3 +233,33 @@ def test_int8_resblock_scope_session_fused_kernel(model_dir, tmp_path,
     for k in out8:
         d = np.abs(out8[k][0].astype(int) - single[k][0].astype(int))
         assert d.max() <= 1 and (d > 0).mean() < 0.05, (k, d.max())
+
+
+def test_int8_resblock_scope_static_calibration(model_dir, tmp_path,
+                                                monkeypatch):
+    """DEEPLIIF_INT8_DYN=0 restores the calibrated static-scale fused
+    chain: auto-calibration runs (per-input-channel scales, folded into
+    the weights), persists act_scales.json, and the chain mode is
+    'static'."""
+    import shutil
+    from deepliif_tpu.nets import resnet
+    monkeypatch.setenv('DEEPLIIF_INT8_SCOPE', 'resblocks')
+    monkeypatch.setenv('DEEPLIIF_FUSED', '1')
+    monkeypatch.setenv('DEEPLIIF_INT8_DYN', '0')
+    md = str(tmp_path / 'md_static')
+    shutil.copytree(model_dir, md)
+    tiles = _real_tiles()
+    f32 = InferenceSession(model_dir, n_devices=1).run_tiles(tiles)
+    s8 = InferenceSession(md, n_devices=1, precision='int8')
+    out8 = s8.run_tiles(tiles)  # auto-calibrates
+    g = s8.params['G']
+    assert 'w_q' in g['res0_conv1'] and 'a_s' in g['res0_conv1']
+    assert s8.act_scales and os.path.exists(
+        os.path.join(md, 'act_scales.json'))
+    # per-channel: res conv scales are (cin,) vectors
+    assert np.asarray(s8.act_scales['G/res0_conv1']).ndim == 1
+    assert resnet.int8_chain_mode(
+        jax.tree_util.tree_map(lambda a: a[0], g), 6) == 'static'
+    for k in f32:
+        s = min(_ssim(out8[k][i], f32[k][i]) for i in range(len(tiles)))
+        assert s > 0.97, (k, s)
